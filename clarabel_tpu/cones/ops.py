@@ -1,0 +1,612 @@
+"""Functional composite-cone operations (zero / nonnegative / second-order).
+
+This is the TPU-native replacement for the reference's per-cone virtual
+dispatch (reference: src/solver/core/cones/compositecone.rs + the per-cone
+``Cone`` impls).  Every operation is a pure function over the full permuted
+slack vector: contiguous group slices handle the per-kind math and
+heterogeneous second-order cones are vectorized with segment reductions, so
+one fused XLA computation covers every cone of a kind regardless of its
+dimension.  No data-dependent Python control flow appears anywhere; all
+branching is ``jnp.where`` so the ops are jit/vmap/shard_map-safe.
+
+The nonsymmetric 3-D cones (exp/pow) and PSD cones plug into the same
+interface from their own modules.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import api
+from .layout import ConeLayout
+
+# primal/dual cone selector for margins / unit shifts
+PRIMAL = 0
+DUAL = 1
+
+
+def _logsafe(x):
+    """log with -inf for nonpositive arguments.
+
+    reference: src/algebra/scalarmath.rs (logsafe)
+    """
+    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -jnp.inf)
+
+
+# =================================================================
+# segment helpers over the SOC group
+# =================================================================
+
+
+def _seg(layout: ConeLayout):
+    return jnp.asarray(layout.soc_seg)
+
+
+def _soc_sum(layout, x):
+    return jax.ops.segment_sum(
+        x, jnp.asarray(layout.soc_seg), num_segments=layout.num_soc,
+        indices_are_sorted=True,
+    )
+
+
+def _heads(layout, x):
+    return x[jnp.asarray(layout.soc_head_idx)]
+
+
+def _tail(layout, x):
+    """Zero out the leading (t) component of each cone."""
+    return jnp.where(jnp.asarray(layout.soc_head_mask), 0.0, x)
+
+
+def _soc_residual(layout, x):
+    """Per-cone residual (x0 - ||x1||)(x0 + ||x1||).
+
+    reference: src/solver/core/cones/socone.rs:388-394
+    """
+    x0 = _heads(layout, x)
+    n1 = jnp.sqrt(_soc_sum(layout, _tail(layout, x) ** 2))
+    return (x0 - n1) * (x0 + n1)
+
+
+def _soc_circ(layout, y, z):
+    """Jordan product y ∘ z for the SOC algebra.
+
+    reference: src/solver/core/cones/socone.rs:360-367
+    """
+    y0 = _heads(layout, y)
+    z0 = _heads(layout, z)
+    head = _soc_sum(layout, y * z)
+    seg = _seg(layout)
+    out = y0[seg] * _tail(layout, z) + z0[seg] * _tail(layout, y)
+    return out.at[jnp.asarray(layout.soc_head_idx)].set(head)
+
+
+def _soc_mul_w(layout, w, eta, x, inverse: bool):
+    """Products with the NT scaling point W (ECOS-style fast form).
+
+    reference: src/solver/core/cones/socone.rs:503-530
+    """
+    seg = _seg(layout)
+    w0 = _heads(layout, w)
+    x0 = _heads(layout, x)
+    zeta = _soc_sum(layout, _tail(layout, w) * _tail(layout, x))
+    if not inverse:
+        c = x0 + zeta / (1.0 + w0)
+        head = eta * (w0 * x0 + zeta)
+        tail = (eta[seg]) * (_tail(layout, x) + c[seg] * _tail(layout, w))
+    else:
+        c = -x0 + zeta / (1.0 + w0)
+        head = (w0 * x0 - zeta) / eta
+        tail = (_tail(layout, x) + c[seg] * _tail(layout, w)) / eta[seg]
+    return tail.at[jnp.asarray(layout.soc_head_idx)].set(head)
+
+
+# =================================================================
+# composite cone interface
+# =================================================================
+
+
+def unit_initialization(layout: ConeLayout, dtype):
+    """(z, s) unit initial point per cone.
+
+    reference: per-cone ``unit_initialization`` (zerocone.rs:72-75,
+    nonnegativecone.rs:68-71, socone.rs:114-119)
+    """
+    z = jnp.zeros(layout.m, dtype)
+    s = jnp.zeros(layout.m, dtype)
+    nn = layout.slice_of(api.NONNEGATIVE)
+    z = z.at[nn].set(1.0)
+    s = s.at[nn].set(1.0)
+    if layout.num_soc:
+        soc = layout.slice_of(api.SOC)
+        heads = jnp.asarray(layout.soc_head_idx) + soc.start
+        z = z.at[heads].set(1.0)
+        s = s.at[heads].set(1.0)
+    if layout.num_exp or layout.num_pow or layout.num_genpow:
+        from . import nonsymmetric as _ns
+
+        z, s = _ns.unit_initialization(layout, z, s)
+    if layout.num_psd:
+        from . import psd as _psd
+
+        z, s = _psd.unit_initialization(layout, z, s)
+    return z, s
+
+
+def set_identity_scaling(layout: ConeLayout, dtype):
+    """Identity NT scalings for the symmetric initial KKT solve.
+
+    reference: per-cone ``set_identity_scaling`` (nonnegativecone.rs:73-75,
+    socone.rs:121-132)
+    """
+    state = {}
+    if layout.n_nn:
+        state["nn_w"] = jnp.ones(layout.n_nn, dtype)
+        state["nn_lam"] = jnp.zeros(layout.n_nn, dtype)
+    if layout.num_soc:
+        w = jnp.zeros(layout.m_soc, dtype).at[jnp.asarray(layout.soc_head_idx)].set(1.0)
+        state["soc_w"] = w
+        state["soc_eta"] = jnp.ones(layout.num_soc, dtype)
+        state["soc_lam"] = jnp.zeros(layout.m_soc, dtype)
+    if layout.num_psd:
+        from . import psd as _psd
+
+        state.update(_psd.set_identity_scaling(layout, dtype))
+    # nonsymmetric cones never take the symmetric initialization path
+    return state
+
+
+def update_scaling(layout: ConeLayout, state, s, z, mu, strategy):
+    """Update all scaling-point data from the current (s, z).
+
+    Returns (new_state, ok).  reference: compositecone.rs:226-243 and the
+    per-cone ``update_scaling`` impls.
+    """
+    state = dict(state)
+    ok = jnp.asarray(True)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        si, zi = s[sl], z[sl]
+        # reference: nonnegativecone.rs:77-90
+        state["nn_lam"] = jnp.sqrt(si * zi)
+        state["nn_w"] = jnp.sqrt(si / zi)
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        si, zi = s[sl], z[sl]
+        seg = _seg(layout)
+        hidx = jnp.asarray(layout.soc_head_idx)
+        # reference: socone.rs:134-211
+        zres = _soc_residual(layout, zi)
+        sres = _soc_residual(layout, si)
+        ok = ok & jnp.all(zres > 0) & jnp.all(sres > 0)
+        zscale = jnp.sqrt(jnp.maximum(zres, 1e-300))
+        sscale = jnp.sqrt(jnp.maximum(sres, 1e-300))
+
+        eta = jnp.sqrt(sscale / zscale)
+
+        sgn = jnp.where(jnp.asarray(layout.soc_head_mask), 1.0, -1.0)
+        w = si / sscale[seg] + sgn * zi / zscale[seg]
+        wres = _soc_residual(layout, w)
+        ok = ok & jnp.all(wres > 0)
+        wscale = jnp.sqrt(jnp.maximum(wres, 1e-300))
+        w = w / wscale[seg]
+
+        # force w to come out normalized (socone.rs:170-172)
+        w1sq = _soc_sum(layout, _tail(layout, w) ** 2)
+        w = w.at[hidx].set(jnp.sqrt(1.0 + w1sq))
+
+        # scaled point λ satisfying λ = Wz = W^{-T}s (socone.rs:174-184)
+        gamma = 0.5 * wscale
+        z0, s0 = _heads(layout, zi), _heads(layout, si)
+        cs = (gamma + z0 / zscale) / sscale
+        cz = (gamma + s0 / sscale) / zscale
+        den = s0 / sscale + z0 / zscale + 2.0 * gamma
+        lam = (cs[seg] * _tail(layout, si) + cz[seg] * _tail(layout, zi)) / den[seg]
+        lam = lam.at[hidx].set(gamma)
+        lam = lam * jnp.sqrt(sscale * zscale)[seg]
+
+        state["soc_w"] = w
+        state["soc_eta"] = eta
+        state["soc_lam"] = lam
+
+    if layout.num_exp or layout.num_pow or layout.num_genpow:
+        from . import nonsymmetric as _ns
+
+        state, ok_ns = _ns.update_scaling(layout, state, s, z, mu, strategy)
+        ok = ok & ok_ns
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        state, ok_psd = _psd.update_scaling(layout, state, s, z)
+        ok = ok & ok_psd
+
+    return state, ok
+
+
+def hs_dense(layout: ConeLayout, state, dtype):
+    """Dense [m, m] block-diagonal scaling matrix Hs for KKT assembly.
+
+    Hs = WᵀW for symmetric cones, μH(z) (or the primal-dual variant) for
+    nonsymmetric cones.  reference: per-cone ``get_Hs``.
+    """
+    H = jnp.zeros((layout.m, layout.m), dtype)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        idx = jnp.arange(sl.start, sl.stop)
+        # reference: nonnegativecone.rs:96-101 (diag Hs = w²)
+        H = H.at[idx, idx].set(state["nn_w"] ** 2)
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        seg = _seg(layout)
+        w, eta = state["soc_w"], state["soc_eta"]
+        # dense form Hs = η²(2wwᵀ - J), J = diag(1, -I)
+        # (reference: socone.rs:227-245)
+        u = eta[seg] * w
+        same = seg[:, None] == seg[None, :]
+        blk = 2.0 * jnp.where(same, u[:, None] * u[None, :], 0.0)
+        diag = jnp.where(
+            jnp.asarray(layout.soc_head_mask), -(eta[seg] ** 2), eta[seg] ** 2
+        )
+        blk = blk + jnp.diag(diag)
+        H = H.at[sl, sl].set(blk)
+
+    if layout.num_exp or layout.num_pow or layout.num_genpow:
+        from . import nonsymmetric as _ns
+
+        H = _ns.hs_dense(layout, state, H)
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        H = _psd.hs_dense(layout, state, H)
+
+    return H
+
+
+def mul_hs(layout: ConeLayout, state, x):
+    """y = Hs x without materializing Hs.  reference: per-cone ``mul_Hs``."""
+    y = jnp.zeros_like(x)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        y = y.at[sl].set(state["nn_w"] ** 2 * x[sl])
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        xi = x[sl]
+        seg = _seg(layout)
+        w, eta = state["soc_w"], state["soc_eta"]
+        # reference: socone.rs:248-256
+        c = 2.0 * _soc_sum(layout, w * xi)
+        out = jnp.where(jnp.asarray(layout.soc_head_mask), -xi, xi) + c[seg] * w
+        y = y.at[sl].set(eta[seg] ** 2 * out)
+
+    if layout.num_exp or layout.num_pow or layout.num_genpow:
+        from . import nonsymmetric as _ns
+
+        y = _ns.mul_hs(layout, state, x, y)
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        y = _psd.mul_hs(layout, state, x, y)
+
+    return y
+
+
+def affine_ds(layout: ConeLayout, state, s):
+    """RHS ds for the affine step: λ∘λ for symmetric cones, s for
+    nonsymmetric ones.  reference: per-cone ``affine_ds``."""
+    ds = jnp.zeros_like(s)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        ds = ds.at[sl].set(state["nn_lam"] ** 2)
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        lam = state["soc_lam"]
+        ds = ds.at[sl].set(_soc_circ(layout, lam, lam))
+
+    if layout.num_exp or layout.num_pow or layout.num_genpow:
+        from . import nonsymmetric as _ns
+
+        ds = _ns.affine_ds(layout, ds, s)
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        ds = _psd.affine_ds(layout, state, ds)
+
+    return ds
+
+
+def combined_ds_shift(layout: ConeLayout, state, step_z, step_s, sigma_mu, z):
+    """Mehrotra shift term for the combined step RHS.
+
+    Symmetric cones: W⁻¹Δs ∘ WΔz − σμe  (reference:
+    symmetric_common.rs:53-84).  Nonsymmetric cones: σμ·g(z) plus the
+    third-order correction (reference: expcone.rs:131-151).
+    """
+    shift = jnp.zeros_like(step_z)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        w = state["nn_w"]
+        wz = w * step_z[sl]
+        wis = step_s[sl] / w
+        shift = shift.at[sl].set(wis * wz - sigma_mu)
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        w, eta = state["soc_w"], state["soc_eta"]
+        wz = _soc_mul_w(layout, w, eta, step_z[sl], inverse=False)
+        wis = _soc_mul_w(layout, w, eta, step_s[sl], inverse=True)
+        out = _soc_circ(layout, wis, wz)
+        out = out.at[jnp.asarray(layout.soc_head_idx)].add(-sigma_mu)
+        shift = shift.at[sl].set(out)
+
+    if layout.num_exp or layout.num_pow or layout.num_genpow:
+        from . import nonsymmetric as _ns
+
+        shift = _ns.combined_ds_shift(layout, state, shift, step_z, step_s, sigma_mu, z)
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        shift = _psd.combined_ds_shift(layout, state, shift, step_z, step_s, sigma_mu)
+
+    return shift
+
+
+def ds_from_dz_offset(layout: ConeLayout, state, ds, z):
+    """Constant part of Δs as a function of Δz: Wᵀ(λ \\ ds) for symmetric
+    cones, zero otherwise.  reference: per-cone ``Δs_from_Δz_offset``."""
+    out = jnp.zeros_like(ds)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        # reference: nonnegativecone.rs:122-126 (out = ds / z)
+        out = out.at[sl].set(ds[sl] / z[sl])
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        dsi, zi = ds[sl], z[sl]
+        seg = _seg(layout)
+        hidx = jnp.asarray(layout.soc_head_idx)
+        w, eta, lam = state["soc_w"], state["soc_eta"], state["soc_lam"]
+        # reference: socone.rs:266-287 (stabilized Wᵀ(λ \ ds))
+        resz = _soc_residual(layout, zi)
+        lam0, ds0 = _heads(layout, lam), _heads(layout, dsi)
+        w0 = _heads(layout, w)
+        lam1ds1 = _soc_sum(layout, _tail(layout, lam) * _tail(layout, dsi))
+        w1ds1 = _soc_sum(layout, _tail(layout, w) * _tail(layout, dsi))
+
+        v = (-zi).at[hidx].set(_heads(layout, zi))
+        c = lam0 * ds0 - lam1ds1
+        v = v * (c / resz)[seg]
+        v = v.at[hidx].add(eta * w1ds1)
+        tail_add = eta[seg] * (
+            _tail(layout, dsi) + (w1ds1 / (1.0 + w0))[seg] * _tail(layout, w)
+        )
+        v = v + _tail(layout, tail_add)
+        v = v / lam0[seg]
+        out = out.at[sl].set(v)
+
+    # nonsymmetric and zero cones contribute zero offsets
+    if layout.num_psd:
+        from . import psd as _psd
+
+        out = _psd.ds_from_dz_offset(layout, state, out, ds)
+
+    return out
+
+
+# -----------------------------------------------------------------
+# step length
+# -----------------------------------------------------------------
+
+
+def _nn_step_component(x, dx, big):
+    """max α with x + α dx >= 0 (reference: nonnegativecone.rs:128-153)."""
+    ratios = jnp.where(dx < 0, -x / jnp.where(dx < 0, dx, -1.0), big)
+    return jnp.min(ratios, initial=big)
+
+
+def _soc_step_component(layout, x, dx, big):
+    """max α keeping each SOC slice inside its cone: minimum positive root
+    of the boundary quadratic, with cancellation-safe root selection.
+
+    reference: socone.rs:421-495
+    """
+    x0 = _heads(layout, x)
+    y0 = _heads(layout, dx)
+
+    # scalar-part bound
+    a_lin = jnp.where((x0 >= 0) & (y0 < 0), -x0 / jnp.where(y0 < 0, y0, -1.0), big)
+
+    a = _soc_residual(layout, dx)
+    b = 2.0 * (x0 * y0 - _soc_sum(layout, _tail(layout, x) * _tail(layout, dx)))
+    c = jnp.maximum(0.0, _soc_residual(layout, x))
+    d = b * b - 4.0 * a * c
+
+    sqrt_d = jnp.sqrt(jnp.maximum(d, 0.0))
+    t = jnp.where(b >= 0, -b - sqrt_d, -b + sqrt_d)
+    safe_t = jnp.where(t == 0, 1.0, t)
+    safe_a = jnp.where(a == 0, 1.0, a)
+    r1 = (2.0 * c) / safe_t
+    r2 = t / (2.0 * safe_a)
+    r1 = jnp.where((r1 < 0) | (t == 0), big, r1)
+    r2 = jnp.where((r2 < 0) | (a == 0), big, r2)
+    root = jnp.minimum(r1, r2)
+
+    a_quad = jnp.where(
+        ((a > 0) & (b > 0)) | (d < 0),
+        big,
+        jnp.where(
+            a == 0,
+            big,
+            jnp.where(c == 0, jnp.where(a >= 0, big, 0.0), root),
+        ),
+    )
+    per_cone = jnp.minimum(a_lin, a_quad)
+    return jnp.min(per_cone, initial=big)
+
+
+def step_length(layout: ConeLayout, state, dz, ds, z, s, settings, alpha_max):
+    """Composite maximum step length to the cone boundary.
+
+    Symmetric cones first (closed form); nonsymmetric cones then shrink the
+    result further, after backing off from 1 by √ε.
+    reference: compositecone.rs:300-340
+    """
+    big = jnp.asarray(jnp.finfo(z.dtype).max, z.dtype)
+    alpha = alpha_max
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        alpha = jnp.minimum(alpha, _nn_step_component(z[sl], dz[sl], big))
+        alpha = jnp.minimum(alpha, _nn_step_component(s[sl], ds[sl], big))
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        alpha = jnp.minimum(alpha, _soc_step_component(layout, z[sl], dz[sl], big))
+        alpha = jnp.minimum(alpha, _soc_step_component(layout, s[sl], ds[sl], big))
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        alpha = _psd.step_length(layout, state, dz, ds, z, s, alpha, big)
+
+    if not layout.is_symmetric:
+        from . import nonsymmetric as _ns
+
+        eps = jnp.finfo(z.dtype).eps
+        alpha = jnp.minimum(alpha, 1.0 - jnp.sqrt(eps))
+        alpha = _ns.step_length(layout, state, dz, ds, z, s, settings, alpha)
+
+    return alpha
+
+
+def compute_barrier(layout: ConeLayout, state, z, s, dz, ds, alpha):
+    """Combined barrier at (z+αdz, s+αds).  reference: per-cone
+    ``compute_barrier``; used by the asymmetric backtracking line search."""
+    barrier = jnp.asarray(0.0, z.dtype)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        si = s[sl] + alpha * ds[sl]
+        zi = z[sl] + alpha * dz[sl]
+        barrier = barrier - jnp.sum(_logsafe(si * zi))
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        res_s = _soc_residual(layout, s[sl] + alpha * ds[sl])
+        res_z = _soc_residual(layout, z[sl] + alpha * dz[sl])
+        good = (res_s > 0) & (res_z > 0)
+        term = jnp.where(good, -0.5 * _logsafe(res_s * res_z), jnp.inf)
+        barrier = barrier + jnp.sum(term)
+
+    if layout.num_exp or layout.num_pow or layout.num_genpow:
+        from . import nonsymmetric as _ns
+
+        barrier = barrier + _ns.compute_barrier(layout, z, s, dz, ds, alpha)
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        barrier = barrier + _psd.compute_barrier(layout, z, s, dz, ds, alpha)
+
+    return barrier
+
+
+# -----------------------------------------------------------------
+# margins and unit shifts (symmetric initialization)
+# -----------------------------------------------------------------
+
+
+def margins(layout: ConeLayout, z, pd):
+    """(minimum margin, total positive margin) over all cones.
+
+    reference: compositecone margins + per-cone impls (zerocone.rs:55-62,
+    nonnegativecone.rs:58-62, socone.rs:104-108)
+    """
+    big = jnp.asarray(jnp.finfo(z.dtype).max, z.dtype)
+    mn = big
+    total = jnp.asarray(0.0, z.dtype)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        zi = z[sl]
+        mn = jnp.minimum(mn, jnp.min(zi, initial=big))
+        total = total + jnp.sum(jnp.maximum(zi, 0.0))
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        zi = z[sl]
+        z0 = _heads(layout, zi)
+        n1 = jnp.sqrt(_soc_sum(layout, _tail(layout, zi) ** 2))
+        a = z0 - n1
+        mn = jnp.minimum(mn, jnp.min(a, initial=big))
+        total = total + jnp.sum(jnp.maximum(a, 0.0))
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        mn, total = _psd.margins(layout, z, mn, total)
+
+    # zero cones: (+inf, 0) contribution — no-op on (mn, total)
+    return mn, total
+
+
+def scaled_unit_shift(layout: ConeLayout, z, alpha, pd):
+    """z += α·e per cone; zero cones clamp to 0 in the primal case.
+
+    reference: per-cone ``scaled_unit_shift`` (zerocone.rs:64-70,
+    nonnegativecone.rs:64-66, socone.rs:110-112)
+    """
+    if layout.n_zero and pd == PRIMAL:
+        z = z.at[layout.slice_of(api.ZERO)].set(0.0)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        z = z.at[sl].add(alpha)
+
+    if layout.num_soc:
+        sl = layout.slice_of(api.SOC)
+        heads = jnp.asarray(layout.soc_head_idx) + sl.start
+        z = z.at[heads].add(alpha)
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        z = _psd.scaled_unit_shift(layout, z, alpha)
+
+    return z
+
+
+def rectify_equilibration(layout: ConeLayout, e):
+    """Replace per-row scalings by their per-cone mean on cones that only
+    admit a scalar scaling (everything except zero/NN cones).
+
+    reference: per-cone ``rectify_equilibration`` (socone.rs:97-101:
+    δ = mean(e)/e, so e ⊙ δ = mean(e) on the cone).
+    Returns (δ, changed) where changed is a static bool.
+    """
+    if not layout.rectify_mask.any():
+        return jnp.ones_like(e), False
+    seg = jnp.asarray(layout.cone_seg)
+    sums = jax.ops.segment_sum(e, seg, num_segments=layout.num_cones,
+                               indices_are_sorted=False)
+    counts = jax.ops.segment_sum(jnp.ones_like(e), seg,
+                                 num_segments=layout.num_cones,
+                                 indices_are_sorted=False)
+    mean = sums / jnp.maximum(counts, 1.0)
+    delta = jnp.where(jnp.asarray(layout.rectify_mask), mean[seg] / e, 1.0)
+    return delta, True

@@ -1,0 +1,634 @@
+"""The interior-point iteration as a single jitted ``lax.while_loop``.
+
+Functional transcription of the reference predictor-corrector loop and its
+strategy-checkpoint state machine (reference: src/solver/core/solver.rs:
+242-465, 525-666), the residual/info bookkeeping (implementations/default/
+residuals.rs, info.rs) and the homogeneous-embedding KKT reduction
+(implementations/default/kktsystem.rs).
+
+Everything lives in one fixed-shape ``SolverState`` pytree; all
+data-dependent control flow (termination, scaling-strategy retries, Mehrotra
+correction gating) is expressed with ``lax.cond`` / ``jnp.where`` so the
+whole solve compiles once and can be vmapped over problem batches and
+sharded over device meshes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cones import ops as cone_ops
+from .kkt import dense as kkt_dense
+from .statuses import SolverStatus, SCALING_DUAL, SCALING_PRIMAL_DUAL
+
+_UNSOLVED = int(SolverStatus.Unsolved)
+
+
+class SolverState(NamedTuple):
+    # variables (x, s, z, τ, κ) and the saved previous iterate
+    x: jax.Array
+    s: jax.Array
+    z: jax.Array
+    tau: jax.Array
+    kappa: jax.Array
+    px: jax.Array
+    ps: jax.Array
+    pz: jax.Array
+    ptau: jax.Array
+    pkappa: jax.Array
+
+    # progress scalars (DefaultInfo; info.rs:13-64)
+    mu: jax.Array
+    sigma: jax.Array
+    step_length: jax.Array
+    iterations: jax.Array
+    cost_primal: jax.Array
+    cost_dual: jax.Array
+    res_primal: jax.Array
+    res_dual: jax.Array
+    res_primal_inf: jax.Array
+    res_dual_inf: jax.Array
+    gap_abs: jax.Array
+    gap_rel: jax.Array
+    ktratio: jax.Array
+
+    # previous-iteration info scalars
+    prev_cost_primal: jax.Array
+    prev_cost_dual: jax.Array
+    prev_res_primal: jax.Array
+    prev_res_dual: jax.Array
+    prev_gap_abs: jax.Array
+    prev_gap_rel: jax.Array
+
+    # residual inner products needed by infeasibility certificates
+    dot_qx: jax.Array
+    dot_bz: jax.Array
+
+    status: jax.Array
+    scaling: jax.Array
+
+
+class Residuals(NamedTuple):
+    rx: jax.Array
+    rz: jax.Array
+    rtau: jax.Array
+    rx_inf: jax.Array
+    rz_inf: jax.Array
+    Px: jax.Array
+    dot_qx: jax.Array
+    dot_bz: jax.Array
+    dot_sz: jax.Array
+    dot_xPx: jax.Array
+
+
+def compute_residuals(P, q, A, b, x, s, z, tau, kappa) -> Residuals:
+    """reference: src/solver/implementations/default/residuals.rs:69-111"""
+    qx = q @ x
+    bz = b @ z
+    sz = s @ z
+    Px = P @ x
+    xPx = x @ Px
+
+    rx_inf = -(A.T @ z)
+    rz_inf = A @ x + s
+
+    rx = rx_inf - Px - tau * q
+    rz = rz_inf - tau * b
+    rtau = qx + bz + kappa + xPx / tau
+
+    return Residuals(rx, rz, rtau, rx_inf, rz_inf, Px, qx, bz, sz, xPx)
+
+
+def _norm_scaled(v, w):
+    """||diag(w) v||_2  (reference: VectorMath::norm_scaled)"""
+    return jnp.sqrt(jnp.sum((v * w) ** 2))
+
+
+def update_info(st: SolverState, r: Residuals, equil, normq, normb):
+    """Unscaled costs / residual norms / gaps through the equilibration
+    inverses.  reference: info.rs:112-180"""
+    d, e, dinv, einv, cinv = equil
+    tinv = 1.0 / st.tau
+
+    xPx_half = r.dot_xPx * tinv * tinv / 2.0
+    cost_primal = (r.dot_qx * tinv + xPx_half) * cinv
+    cost_dual = (-r.dot_bz * tinv - xPx_half) * cinv
+
+    normx = _norm_scaled(st.x, d)
+    normz = _norm_scaled(st.z, e) * cinv
+    norms = _norm_scaled(st.s, einv)
+
+    res_primal_inf = (_norm_scaled(r.rx_inf, dinv) * cinv) / jnp.maximum(1.0, normz)
+    res_dual_inf = jnp.maximum(
+        _norm_scaled(r.Px, dinv) / jnp.maximum(1.0, normx),
+        _norm_scaled(r.rz_inf, einv) / jnp.maximum(1.0, normx + norms),
+    )
+
+    normx = normx * tinv
+    normz = normz * tinv
+    norms = norms * tinv
+
+    res_primal = _norm_scaled(r.rz, einv) * tinv / jnp.maximum(1.0, normb + normx + norms)
+    res_dual = (
+        _norm_scaled(r.rx, dinv) * tinv * cinv / jnp.maximum(1.0, normq + normx + normz)
+    )
+
+    gap_abs = jnp.abs(cost_primal - cost_dual)
+    gap_rel = gap_abs / jnp.maximum(
+        1.0, jnp.minimum(jnp.abs(cost_primal), jnp.abs(cost_dual))
+    )
+    ktratio = st.kappa * tinv
+
+    return st._replace(
+        cost_primal=cost_primal,
+        cost_dual=cost_dual,
+        res_primal=res_primal,
+        res_dual=res_dual,
+        res_primal_inf=res_primal_inf,
+        res_dual_inf=res_dual_inf,
+        gap_abs=gap_abs,
+        gap_rel=gap_rel,
+        ktratio=ktratio,
+        dot_qx=r.dot_qx,
+        dot_bz=r.dot_bz,
+    )
+
+
+def check_convergence(st: SolverState, tols, statuses):
+    """Shared convergence check for the full and the reduced ("almost")
+    tolerance tiers.  reference: info.rs:340-389"""
+    (gap_abs, gap_rel, feas, infeas_abs, infeas_rel, ktratio_tol) = tols
+    solved_st, pinf_st, dinf_st = statuses
+
+    solved = (
+        (st.ktratio <= 1.0)
+        & ((st.gap_abs < gap_abs) | (st.gap_rel < gap_rel))
+        & (st.res_primal < feas)
+        & (st.res_dual < feas)
+    )
+    kt_diverged = st.ktratio > (1000.0 / ktratio_tol)
+    primal_inf = (st.dot_bz < -infeas_abs) & (
+        st.res_primal_inf < -infeas_rel * st.dot_bz
+    )
+    dual_inf = (st.dot_qx < -infeas_abs) & (st.res_dual_inf < -infeas_rel * st.dot_qx)
+
+    status = jnp.where(
+        solved,
+        solved_st,
+        jnp.where(
+            kt_diverged & primal_inf,
+            pinf_st,
+            jnp.where(kt_diverged & dual_inf, dinf_st, _UNSOLVED),
+        ),
+    )
+    return status.astype(jnp.int32)
+
+
+def check_termination(st: SolverState, settings, dtype):
+    """reference: info.rs:182-231"""
+    full_tols = (
+        settings.tol_gap_abs,
+        settings.tol_gap_rel,
+        settings.tol_feas,
+        settings.tol_infeas_abs,
+        settings.tol_infeas_rel,
+        settings.tol_ktratio,
+    )
+    status = check_convergence(
+        st,
+        full_tols,
+        (
+            int(SolverStatus.Solved),
+            int(SolverStatus.PrimalInfeasible),
+            int(SolverStatus.DualInfeasible),
+        ),
+    )
+
+    eps = float(jnp.finfo(dtype).eps)
+    going_backwards = (st.res_dual > st.prev_res_dual) | (
+        st.res_primal > st.prev_res_primal
+    )
+    poor_progress_hi = (st.ktratio < eps * 100.0) & (
+        (st.prev_gap_abs < settings.tol_gap_abs)
+        | (st.prev_gap_rel < settings.tol_gap_rel)
+    )
+    diverging = (st.ktratio < 1.0) & (
+        (
+            (st.res_dual > settings.tol_feas * 100.0)
+            & (st.res_dual > st.prev_res_dual * 100.0)
+        )
+        | (
+            (st.res_primal > settings.tol_feas * 100.0)
+            & (st.res_primal > st.prev_res_primal * 100.0)
+        )
+    )
+    insufficient = (
+        (status == _UNSOLVED)
+        & (st.iterations > 1)
+        & going_backwards
+        & (poor_progress_hi | diverging)
+    )
+    status = jnp.where(insufficient, int(SolverStatus.InsufficientProgress), status)
+
+    status = jnp.where(
+        (status == _UNSOLVED) & (st.iterations == settings.max_iter),
+        int(SolverStatus.MaxIterations),
+        status,
+    )
+    return status
+
+
+def calc_mu(layout, r: Residuals, tau, kappa):
+    """reference: variables.rs:62-65"""
+    return (r.dot_sz + tau * kappa) / (layout.degree + 1)
+
+
+def calc_step_length(layout, state, step, variables, settings, is_combined, scaling):
+    """reference: variables.rs:117-154 + solver.rs:547-584"""
+    x, s, z, tau, kappa = variables
+    dx, ds, dz, dtau, dkappa = step
+
+    big = jnp.asarray(jnp.finfo(z.dtype).max, z.dtype)
+    a_tau = jnp.where(dtau < 0, -tau / jnp.where(dtau < 0, dtau, -1.0), big)
+    a_kappa = jnp.where(dkappa < 0, -kappa / jnp.where(dkappa < 0, dkappa, -1.0), big)
+    alpha_max = jnp.minimum(jnp.minimum(a_tau, a_kappa), 1.0)
+
+    alpha = cone_ops.step_length(layout, state, dz, ds, z, s, settings, alpha_max)
+
+    if is_combined:
+        alpha = alpha * settings.max_step_fraction
+
+    # additional barrier limit for asymmetric cones under dual-only scaling
+    # (solver.rs:560-584)
+    if not layout.is_symmetric and is_combined:
+        def barrier_at(a):
+            cur_tau = tau + a * dtau
+            cur_kappa = kappa + a * dkappa
+            sz = (z + a * dz) @ (s + a * ds)
+            mu = (sz + cur_tau * cur_kappa) / (layout.degree + 1)
+            barrier = (
+                (layout.degree + 1) * cone_ops._logsafe(mu)
+                - cone_ops._logsafe(cur_tau)
+                - cone_ops._logsafe(cur_kappa)
+            )
+            return barrier + cone_ops.compute_barrier(layout, state, z, s, dz, ds, a)
+
+        def backtrack(a):
+            def cond(carry):
+                a, k = carry
+                return (barrier_at(a) >= 1.0) & (k < 50)
+
+            def body(carry):
+                a, k = carry
+                return a * settings.linesearch_backtrack_step, k + 1
+
+            a, _ = jax.lax.while_loop(cond, body, (a, 0))
+            return a
+
+        alpha = jnp.where(
+            scaling == SCALING_DUAL,
+            backtrack(alpha),
+            alpha,
+        )
+    return alpha
+
+
+def kkt_solve(
+    layout, scaling_state, factors, K_true, P, q, A, b, x2, z2,
+    rhs, variables, settings, is_combined,
+):
+    """Reduced 2-solve strategy for the homogeneous KKT system.
+
+    reference: kktsystem.rs:127-209 — solve for (x1, z1), recover Δτ from the
+    closed form with P-quadratic terms, then Δx/Δz/Δs/Δκ.
+    """
+    n = q.shape[0]
+    x, s, z, tau, kappa = variables
+    rx, rs, rz, rtau, rkappa = rhs
+
+    # constant term c in HₛΔz + Δs = -c (kktsystem.rs:146-158)
+    if is_combined:
+        ds_const = cone_ops.ds_from_dz_offset(layout, scaling_state, rs, z)
+    else:
+        ds_const = s
+
+    workz = ds_const - rz
+
+    sol, ok = kkt_dense.solve_refined(
+        factors, K_true, jnp.concatenate([rx, workz]), settings
+    )
+    x1, z1 = sol[:n], sol[n:]
+
+    # Δτ (kktsystem.rs:168-190)
+    xi = x / tau
+    tau_num = rtau - rkappa / tau + q @ x1 + b @ z1 + 2.0 * (xi @ (P @ x1))
+    xi_m_x2 = xi - x2
+    tau_den = (
+        kappa / tau
+        - q @ x2
+        - b @ z2
+        + xi_m_x2 @ (P @ xi_m_x2)
+        - x2 @ (P @ x2)
+    )
+    dtau = tau_num / tau_den
+
+    dx = x1 + dtau * x2
+    dz = z1 + dtau * z2
+
+    # Δs = -(HₛΔz + c)  (kktsystem.rs:195-199)
+    ds = -(cone_ops.mul_hs(layout, scaling_state, dz) + ds_const)
+
+    # Δκ (kktsystem.rs:202-203)
+    dkappa = -(rkappa + kappa * dtau) / tau
+
+    return (dx, ds, dz, dtau, dkappa), ok
+
+
+def default_start(layout, settings, P, q, A, b, p_is_zero, dtype):
+    """Initial iterate.  reference: solver.rs:525-541, kktsystem.rs:211-259,
+    variables.rs:164-178, 231-256."""
+    n, m = q.shape[0], b.shape[0]
+
+    if not layout.is_symmetric:
+        z, s = cone_ops.unit_initialization(layout, dtype)
+        x = jnp.zeros(n, dtype)
+        return x, s, z, jnp.asarray(1.0, dtype), jnp.asarray(1.0, dtype)
+
+    # symmetric: solve the KKT system with identity scalings
+    state0 = cone_ops.set_identity_scaling(layout, dtype)
+    Hs = cone_ops.hs_dense(layout, state0, dtype)
+    K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
+    factors, _ = kkt_dense.factor(K_reg)
+
+    if p_is_zero:
+        # LP initialization (kktsystem.rs:219-245)
+        sol1, _ = kkt_dense.solve_refined(
+            factors, K, jnp.concatenate([jnp.zeros(n, dtype), b]), settings
+        )
+        x = sol1[:n]
+        s = -sol1[n:]
+        sol2, _ = kkt_dense.solve_refined(
+            factors, K, jnp.concatenate([-q, jnp.zeros(m, dtype)]), settings
+        )
+        z = sol2[n:]
+    else:
+        # QP initialization (kktsystem.rs:246-257)
+        sol, _ = kkt_dense.solve_refined(
+            factors, K, jnp.concatenate([-q, b]), settings
+        )
+        x = sol[:n]
+        z = sol[n:]
+        s = -z
+
+    # shift (s, z) into the cone interior (variables.rs:231-256)
+    s = _shift_to_cone_interior(layout, s, cone_ops.PRIMAL)
+    z = _shift_to_cone_interior(layout, z, cone_ops.DUAL)
+
+    return x, s, z, jnp.asarray(1.0, dtype), jnp.asarray(1.0, dtype)
+
+
+def _shift_to_cone_interior(layout, v, pd):
+    """reference: variables.rs:231-256"""
+    mn, pos = cone_ops.margins(layout, v, pd)
+    degree = max(layout.degree, 1)
+    target = jnp.maximum(1.0, 0.1 * pos / degree)
+
+    # two-stage shift to avoid catastrophic cancellation for large margins
+    shift1 = jnp.where(mn <= 0, -mn, 0.0)
+    shift2 = jnp.where(
+        mn <= 0, target, jnp.where(mn < target, target - mn, 0.0)
+    )
+    v = cone_ops.scaled_unit_shift(layout, v, shift1, pd)
+    v = cone_ops.scaled_unit_shift(layout, v, shift2, pd)
+    return v
+
+
+def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype):
+    """The main loop.  Returns the final SolverState.
+
+    reference: solver.rs:242-465
+    """
+    n, m = q.shape[0], b.shape[0]
+    asym = not layout.is_symmetric
+
+    x, s, z, tau, kappa = default_start(layout, settings, P, q, A, b, p_is_zero, dtype)
+
+    f = lambda v: jnp.asarray(v, dtype)
+    init_scaling = (
+        SCALING_PRIMAL_DUAL
+        if layout.allows_primal_dual_scaling
+        else SCALING_DUAL
+    )
+    st = SolverState(
+        x=x, s=s, z=z, tau=tau, kappa=kappa,
+        px=x, ps=s, pz=z, ptau=tau, pkappa=kappa,
+        mu=f(0.0), sigma=f(1.0), step_length=f(0.0),
+        iterations=jnp.asarray(0, jnp.int32),
+        cost_primal=f(jnp.inf), cost_dual=f(-jnp.inf),
+        res_primal=f(jnp.inf), res_dual=f(jnp.inf),
+        res_primal_inf=f(jnp.inf), res_dual_inf=f(jnp.inf),
+        gap_abs=f(jnp.inf), gap_rel=f(jnp.inf), ktratio=f(1.0),
+        prev_cost_primal=f(jnp.inf), prev_cost_dual=f(-jnp.inf),
+        prev_res_primal=f(jnp.inf), prev_res_dual=f(jnp.inf),
+        prev_gap_abs=f(jnp.inf), prev_gap_rel=f(jnp.inf),
+        dot_qx=f(0.0), dot_bz=f(0.0),
+        status=jnp.asarray(_UNSOLVED, jnp.int32),
+        scaling=jnp.asarray(init_scaling, jnp.int32),
+    )
+
+    def cond(st: SolverState):
+        return st.status == _UNSOLVED
+
+    def body(st: SolverState):
+        r = compute_residuals(P, q, A, b, st.x, st.s, st.z, st.tau, st.kappa)
+        mu = calc_mu(layout, r, st.tau, st.kappa)
+        st = update_info(st._replace(mu=mu), r, equil, normq, normb)
+        status = check_termination(st, settings, dtype)
+
+        # --- strategy checkpoint: insufficient progress (solver.rs:586-609)
+        is_ip = status == int(SolverStatus.InsufficientProgress)
+        retry_ip = is_ip & asym & (st.scaling == SCALING_PRIMAL_DUAL)
+
+        def restore(st):
+            return st._replace(
+                x=st.px, s=st.ps, z=st.pz, tau=st.ptau, kappa=st.pkappa,
+                cost_primal=st.prev_cost_primal, cost_dual=st.prev_cost_dual,
+                res_primal=st.prev_res_primal, res_dual=st.prev_res_dual,
+                gap_abs=st.prev_gap_abs, gap_rel=st.prev_gap_rel,
+            )
+
+        st = jax.tree.map(
+            lambda a, b_: jnp.where(is_ip, a, b_), restore(st), st
+        )
+        status = jnp.where(retry_ip, _UNSOLVED, status)
+        scaling = jnp.where(retry_ip, SCALING_DUAL, st.scaling)
+        st = st._replace(status=status, scaling=scaling)
+
+        proceed = (status == _UNSOLVED) & ~retry_ip
+
+        def do_step(st: SolverState):
+            # --- cone scaling update (solver.rs:327-338)
+            scaling_state, ok_scale = cone_ops.update_scaling(
+                layout, cone_ops.set_identity_scaling(layout, dtype),
+                st.s, st.z, mu, st.scaling,
+            )
+            # iterations only count successful KKT updates (solver.rs:340-342)
+            st = st._replace(
+                iterations=st.iterations + jnp.where(ok_scale, 1, 0).astype(jnp.int32)
+            )
+
+            # --- KKT update + constant-term solve (kktsystem.rs:108-125)
+            Hs = cone_ops.hs_dense(layout, scaling_state, dtype)
+            K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
+            factors, ok_f = kkt_dense.factor(K_reg)
+            sol_c, ok_c = kkt_dense.solve_refined(
+                factors, K, jnp.concatenate([-q, b]), settings
+            )
+            x2, z2 = sol_c[:n], sol_c[n:]
+
+            variables = (st.x, st.s, st.z, st.tau, st.kappa)
+
+            # --- affine step (variables.rs:67-78)
+            affine_rhs = (
+                r.rx,
+                cone_ops.affine_ds(layout, scaling_state, st.s),
+                r.rz,
+                r.rtau,
+                st.tau * st.kappa,
+            )
+            aff, ok_a = kkt_solve(
+                layout, scaling_state, factors, K, P, q, A, b, x2, z2,
+                affine_rhs, variables, settings, is_combined=False,
+            )
+
+            alpha_aff = calc_step_length(
+                layout, scaling_state, aff, variables, settings,
+                is_combined=False, scaling=st.scaling,
+            )
+            sigma = (1.0 - alpha_aff) ** 3  # solver.rs:543-545
+
+            # reduced Mehrotra correction on the first iteration
+            # (solver.rs:380-382)
+            m_corr = jnp.where(st.iterations > 1, 1.0, alpha_aff)
+
+            # --- combined step rhs (variables.rs:80-115)
+            dx_a, ds_a, dz_a, dtau_a, dkappa_a = aff
+            sigma_mu = sigma * mu
+            shift = cone_ops.combined_ds_shift(
+                layout, scaling_state, m_corr * dz_a, ds_a, sigma_mu, st.z
+            )
+            comb_rhs = (
+                (1.0 - sigma) * r.rx,
+                affine_rhs[1] + shift,
+                (1.0 - sigma) * r.rz,
+                (1.0 - sigma) * r.rtau,
+                -sigma_mu + m_corr * dtau_a * dkappa_a + st.tau * st.kappa,
+            )
+            comb, ok_cb = kkt_solve(
+                layout, scaling_state, factors, K, P, q, A, b, x2, z2,
+                comb_rhs, variables, settings, is_combined=True,
+            )
+
+            kkt_ok = ok_scale & ok_f & ok_c & ok_a & ok_cb
+
+            # --- strategy checkpoint: numerical error (solver.rs:611-630)
+            retry_ne = (~kkt_ok) & asym & (st.scaling == SCALING_PRIMAL_DUAL)
+            fail_ne = (~kkt_ok) & (~retry_ne)
+            # scaling failure is always fatal (solver.rs:654-665)
+            fail_ne = fail_ne | (~ok_scale)
+            retry_ne = retry_ne & ok_scale
+
+            alpha = calc_step_length(
+                layout, scaling_state, comb, variables, settings,
+                is_combined=True, scaling=st.scaling,
+            )
+
+            # --- strategy checkpoint: small step (solver.rs:632-652)
+            retry_ss = (
+                asym
+                & (st.scaling == SCALING_PRIMAL_DUAL)
+                & (alpha < settings.min_switch_step_length)
+            )
+            fail_ss = (~retry_ss) & (
+                alpha <= max(0.0, settings.min_terminate_step_length)
+            )
+
+            retry = (retry_ne | retry_ss) & (~fail_ne)
+            fail = fail_ne | (fail_ss & ~retry)
+            take = (~retry) & (~fail)
+
+            status = jnp.where(
+                fail_ne,
+                int(SolverStatus.NumericalError),
+                jnp.where(
+                    fail_ss & ~retry_ne,
+                    int(SolverStatus.InsufficientProgress),
+                    _UNSOLVED,
+                ),
+            ).astype(jnp.int32)
+            scaling = jnp.where(retry, SCALING_DUAL, st.scaling)
+
+            dx, ds, dz, dtau, dkappa = comb
+            a = jnp.where(take, alpha, 0.0)
+            st = st._replace(
+                # save previous iterate before stepping (solver.rs:429-432)
+                px=jnp.where(take, st.x, st.px),
+                ps=jnp.where(take, st.s, st.ps),
+                pz=jnp.where(take, st.z, st.pz),
+                ptau=jnp.where(take, st.tau, st.ptau),
+                pkappa=jnp.where(take, st.kappa, st.pkappa),
+                prev_cost_primal=jnp.where(take, st.cost_primal, st.prev_cost_primal),
+                prev_cost_dual=jnp.where(take, st.cost_dual, st.prev_cost_dual),
+                prev_res_primal=jnp.where(take, st.res_primal, st.prev_res_primal),
+                prev_res_dual=jnp.where(take, st.res_dual, st.prev_res_dual),
+                prev_gap_abs=jnp.where(take, st.gap_abs, st.prev_gap_abs),
+                prev_gap_rel=jnp.where(take, st.gap_rel, st.prev_gap_rel),
+                x=st.x + a * dx,
+                s=st.s + a * ds,
+                z=st.z + a * dz,
+                tau=st.tau + a * dtau,
+                kappa=st.kappa + a * dkappa,
+                sigma=sigma,
+                step_length=a,
+                status=status,
+                scaling=scaling,
+            )
+            return st
+
+        st = jax.lax.cond(proceed, do_step, lambda s_: s_, st)
+        return st
+
+    st = jax.lax.while_loop(cond, body, st)
+
+    # "almost solved" tier on error / iteration-limit exits
+    # (info.rs:95-105, 308-337)
+    errored = (
+        (st.status == int(SolverStatus.NumericalError))
+        | (st.status == int(SolverStatus.InsufficientProgress))
+        | (st.status == int(SolverStatus.MaxIterations))
+        | (st.status == int(SolverStatus.MaxTime))
+    )
+    reduced_tols = (
+        settings.reduced_tol_gap_abs,
+        settings.reduced_tol_gap_rel,
+        settings.reduced_tol_feas,
+        settings.reduced_tol_infeas_abs,
+        settings.reduced_tol_infeas_rel,
+        settings.reduced_tol_ktratio,
+    )
+    almost = check_convergence(
+        st,
+        reduced_tols,
+        (
+            int(SolverStatus.AlmostSolved),
+            int(SolverStatus.AlmostPrimalInfeasible),
+            int(SolverStatus.AlmostDualInfeasible),
+        ),
+    )
+    st = st._replace(
+        status=jnp.where(errored & (almost != _UNSOLVED), almost, st.status)
+    )
+    return st

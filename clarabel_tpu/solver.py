@@ -1,0 +1,328 @@
+"""DefaultSolver: the user-facing solver object.
+
+Host-side orchestration mirroring the reference setup pipeline
+(reference: src/solver/implementations/default/solver.rs:57-126):
+dimension checks -> cone collapsing -> presolve -> cone layout (our
+row-permutation replaces the reference's per-cone range bookkeeping) ->
+a single jitted device computation covering equilibration, the IPM loop
+and solution unscaling.
+
+Problems solve as
+
+    minimize    (1/2) xᵀPx + qᵀx
+    subject to  Ax + s = b,   s ∈ K.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import equilibration, presolve
+from .cones import api
+from .cones.layout import ConeLayout
+from .infbound import get_infinity
+from .loop import run_ipm
+from .settings import DefaultSettings
+from .statuses import SolverStatus
+from .timers import Timers
+
+
+@dataclasses.dataclass
+class DefaultSolution:
+    """Solver output.  reference: solution.rs:11-32"""
+
+    x: np.ndarray
+    z: np.ndarray
+    s: np.ndarray
+    status: SolverStatus
+    obj_val: float
+    obj_val_dual: float
+    solve_time: float
+    iterations: int
+    r_prim: float
+    r_dual: float
+
+
+@dataclasses.dataclass
+class DefaultInfo:
+    """Progress information from the final iteration.  reference: info.rs:13-64"""
+
+    mu: float = float("nan")
+    sigma: float = float("nan")
+    step_length: float = 0.0
+    iterations: int = 0
+    cost_primal: float = float("nan")
+    cost_dual: float = float("nan")
+    res_primal: float = float("nan")
+    res_dual: float = float("nan")
+    res_primal_inf: float = float("nan")
+    res_dual_inf: float = float("nan")
+    gap_abs: float = float("nan")
+    gap_rel: float = float("nan")
+    ktratio: float = float("nan")
+    solve_time: float = 0.0
+    status: SolverStatus = SolverStatus.Unsolved
+
+
+def _to_dense(M, name: str) -> np.ndarray:
+    """Accept scipy.sparse / array-likes, return dense float64 ndarray."""
+    if M is None:
+        raise ValueError(f"{name} may not be None")
+    if hasattr(M, "toarray"):  # scipy.sparse
+        M = M.toarray()
+    M = np.asarray(M, np.float64)
+    if M.ndim != 2:
+        raise ValueError(f"{name} must be 2-dimensional")
+    return M
+
+
+def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
+    """Use only the upper triangle of P, treated as symmetric.
+
+    reference: problemdata.rs:79-81 (to_triu) + sym_up views.
+    """
+    U = np.triu(P)
+    return U + np.triu(P, 1).T
+
+
+@functools.lru_cache(maxsize=64)
+def _build_solve_fn(layout: ConeLayout, settings: DefaultSettings,
+                    n: int, p_is_zero: bool, dtype_name: str):
+    """Compile-cached solve function specialized on the static problem
+    structure (layout, settings, shapes)."""
+    dtype = jnp.dtype(dtype_name)
+    triu_mask = jnp.asarray(np.triu(np.ones((n, n))), dtype)
+
+    def solve_core(P, q, A, b):
+        # unscaled inf-norms of the linear terms, cached before
+        # equilibration (problemdata.rs:147-148)
+        normq = jnp.max(jnp.abs(q), initial=0.0)
+        normb = jnp.max(jnp.abs(b), initial=0.0)
+
+        P, q, A, b, d, e, c = equilibration.equilibrate(
+            layout, settings, P, q, A, b, triu_mask
+        )
+        dinv, einv, cinv = 1.0 / d, 1.0 / e, 1.0 / c
+        equil = (d, e, dinv, einv, cinv)
+
+        st = run_ipm(
+            layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype
+        )
+
+        # ---- solution post-processing (solution.rs:68-111,
+        #      variables.rs:262-285)
+        status = st.status
+        is_infeasible = (
+            (status == int(SolverStatus.PrimalInfeasible))
+            | (status == int(SolverStatus.DualInfeasible))
+            | (status == int(SolverStatus.AlmostPrimalInfeasible))
+            | (status == int(SolverStatus.AlmostDualInfeasible))
+        )
+        scaleinv = jnp.where(is_infeasible, 1.0 / st.kappa, 1.0 / st.tau)
+
+        x = st.x * d * scaleinv
+        z = st.z * e * (scaleinv * cinv)
+        s = st.s * einv * scaleinv
+
+        nan = jnp.asarray(jnp.nan, dtype)
+        obj_val = jnp.where(is_infeasible, nan, st.cost_primal)
+        obj_val_dual = jnp.where(is_infeasible, nan, st.cost_dual)
+
+        return {
+            "x": x,
+            "z": z,
+            "s": s,
+            "status": status,
+            "obj_val": obj_val,
+            "obj_val_dual": obj_val_dual,
+            "iterations": st.iterations,
+            "r_prim": st.res_primal,
+            "r_dual": st.res_dual,
+            "mu": st.mu,
+            "sigma": st.sigma,
+            "step_length": st.step_length,
+            "cost_primal": st.cost_primal,
+            "cost_dual": st.cost_dual,
+            "res_primal_inf": st.res_primal_inf,
+            "res_dual_inf": st.res_dual_inf,
+            "gap_abs": st.gap_abs,
+            "gap_rel": st.gap_rel,
+            "ktratio": st.ktratio,
+        }
+
+    return jax.jit(solve_core)
+
+
+def _default_dtype() -> str:
+    return "float64" if jax.config.jax_enable_x64 else "float32"
+
+
+class DefaultSolver:
+    """Interior-point solver for convex conic programs with quadratic
+    objectives (reference: DefaultSolver, default/solver.rs:19-126)."""
+
+    def __init__(
+        self,
+        P,
+        q,
+        A,
+        b,
+        cones: Sequence[api.ConeSpec],
+        settings: Optional[DefaultSettings] = None,
+        dtype: Optional[str] = None,
+        device=None,
+    ):
+        self.settings = settings if settings is not None else DefaultSettings()
+        self.settings.validate()
+        self.timers = Timers()
+
+        with self.timers.scope("setup"):
+            q = np.asarray(q, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            P = _to_dense(P, "P")
+            A = _to_dense(A, "A")
+
+            # dimension checks (default/solver.rs:129-159)
+            n = q.shape[0]
+            m = b.shape[0]
+            if P.shape != (n, n):
+                raise ValueError(f"P must be {n}x{n}, got {P.shape}")
+            if A.shape != (m, n):
+                raise ValueError(f"A must be {m}x{n}, got {A.shape}")
+            cones = tuple(cones)
+            m_cones = sum(c.nvars for c in cones)
+            if m_cones != m:
+                raise ValueError(
+                    f"cone dimensions sum to {m_cones}, but A/b have {m} rows"
+                )
+
+            P = _symmetrize_triu(P)
+
+            with self.timers.scope("presolve"):
+                # cone collapsing (supportedcone.rs:105-161)
+                cones_int = api.collapse_cones(cones)
+
+                # presolve reduction (problemdata.rs:85-90)
+                self._presolver = presolve.try_presolve(A, b, cones_int, self.settings)
+                if self._presolver is not None:
+                    A, b, cones_int = presolve.apply_presolve(
+                        self._presolver, A, b, cones_int
+                    )
+
+                # cap b at the infinity bound (problemdata.rs:126-131)
+                b = np.minimum(b, get_infinity())
+
+                self._layout = ConeLayout(cones_int)
+
+                # permute rows so cone groups are contiguous
+                perm = self._layout.perm
+                A = A[perm, :]
+                b = b[perm]
+
+            self.n = n
+            self.m_full = m
+            self.m = self._layout.m
+            self._dtype = dtype or _default_dtype()
+            self._p_is_zero = not np.any(P)
+
+            # f64 factorizations are not supported by the TPU backend; route
+            # full-precision solves to the host CPU and f32 solves to the
+            # accelerator.  jit follows the committed device of the inputs.
+            if device is None:
+                if self._dtype == "float64":
+                    device = jax.devices("cpu")[0]
+                else:
+                    device = jax.devices()[0]
+            self._device = device
+
+            put = lambda v: jax.device_put(jnp.asarray(v, self._dtype), device)
+            self._P = put(P)
+            self._q = put(q)
+            self._A = put(A)
+            self._b = put(b)
+
+            with self.timers.scope("kktinit"):
+                self._solve_fn = _build_solve_fn(
+                    self._layout, self.settings, n, self._p_is_zero, self._dtype
+                )
+
+        self.info = DefaultInfo()
+        self.solution: Optional[DefaultSolution] = None
+
+    # ------------------------------------------------------------------
+    def solve(self) -> DefaultSolution:
+        t0 = time.perf_counter()
+        with self.timers.scope("solve"):
+            out = self._solve_fn(self._P, self._q, self._A, self._b)
+            out = jax.tree.map(np.asarray, jax.device_get(out))
+        solve_time = time.perf_counter() - t0
+
+        status = SolverStatus(int(out["status"]))
+
+        # undo the cone-group permutation
+        z_int = np.empty(self.m, out["z"].dtype)
+        s_int = np.empty(self.m, out["s"].dtype)
+        z_int[self._layout.perm] = out["z"]
+        s_int[self._layout.perm] = out["s"]
+
+        # undo presolve (solution.rs:96-105)
+        if self._presolver is not None:
+            z, s = presolve.reverse_presolve(self._presolver, z_int, s_int)
+        else:
+            z, s = z_int, s_int
+
+        self.solution = DefaultSolution(
+            x=np.asarray(out["x"], np.float64),
+            z=np.asarray(z, np.float64),
+            s=np.asarray(s, np.float64),
+            status=status,
+            obj_val=float(out["obj_val"]),
+            obj_val_dual=float(out["obj_val_dual"]),
+            solve_time=solve_time,
+            iterations=int(out["iterations"]),
+            r_prim=float(out["r_prim"]),
+            r_dual=float(out["r_dual"]),
+        )
+        self.info = DefaultInfo(
+            mu=float(out["mu"]),
+            sigma=float(out["sigma"]),
+            step_length=float(out["step_length"]),
+            iterations=int(out["iterations"]),
+            cost_primal=float(out["cost_primal"]),
+            cost_dual=float(out["cost_dual"]),
+            res_primal=float(out["r_prim"]),
+            res_dual=float(out["r_dual"]),
+            res_primal_inf=float(out["res_primal_inf"]),
+            res_dual_inf=float(out["res_dual_inf"]),
+            gap_abs=float(out["gap_abs"]),
+            gap_rel=float(out["gap_rel"]),
+            ktratio=float(out["ktratio"]),
+            solve_time=solve_time,
+            status=status,
+        )
+
+        if self.settings.verbose:
+            self._print_footer()
+
+        return self.solution
+
+    # ------------------------------------------------------------------
+    def _print_footer(self):  # pragma: no cover - cosmetic
+        i = self.info
+        print(
+            f"[clarabel_tpu] status = {i.status.name}, iterations = {i.iterations}, "
+            f"obj = {i.cost_primal:.6e}, gap = {i.gap_abs:.3e}, "
+            f"pres = {i.res_primal:.3e}, dres = {i.res_dual:.3e}, "
+            f"time = {i.solve_time * 1e3:.2f} ms"
+        )
+
+    def print_timers(self):  # pragma: no cover - cosmetic
+        self.timers.print_tree()
