@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import api
 from .layout import ConeLayout
@@ -40,23 +41,23 @@ def _logsafe(x):
 
 
 def _seg(layout: ConeLayout):
-    return jnp.asarray(layout.soc_seg)
+    return layout.soc_seg
 
 
 def _soc_sum(layout, x):
     return jax.ops.segment_sum(
-        x, jnp.asarray(layout.soc_seg), num_segments=layout.num_soc,
+        x, layout.soc_seg, num_segments=layout.num_soc,
         indices_are_sorted=True,
     )
 
 
 def _heads(layout, x):
-    return x[jnp.asarray(layout.soc_head_idx)]
+    return x[layout.soc_head_idx]
 
 
 def _tail(layout, x):
     """Zero out the leading (t) component of each cone."""
-    return jnp.where(jnp.asarray(layout.soc_head_mask), 0.0, x)
+    return jnp.where(layout.soc_head_mask, 0.0, x)
 
 
 def _soc_residual(layout, x):
@@ -79,7 +80,7 @@ def _soc_circ(layout, y, z):
     head = _soc_sum(layout, y * z)
     seg = _seg(layout)
     out = y0[seg] * _tail(layout, z) + z0[seg] * _tail(layout, y)
-    return out.at[jnp.asarray(layout.soc_head_idx)].set(head)
+    return out.at[layout.soc_head_idx].set(head)
 
 
 def _soc_mul_w(layout, w, eta, x, inverse: bool):
@@ -99,7 +100,7 @@ def _soc_mul_w(layout, w, eta, x, inverse: bool):
         c = -x0 + zeta / (1.0 + w0)
         head = (w0 * x0 - zeta) / eta
         tail = (_tail(layout, x) + c[seg] * _tail(layout, w)) / eta[seg]
-    return tail.at[jnp.asarray(layout.soc_head_idx)].set(head)
+    return tail.at[layout.soc_head_idx].set(head)
 
 
 # =================================================================
@@ -120,7 +121,7 @@ def unit_initialization(layout: ConeLayout, dtype):
     s = s.at[nn].set(1.0)
     if layout.num_soc:
         soc = layout.slice_of(api.SOC)
-        heads = jnp.asarray(layout.soc_head_idx) + soc.start
+        heads = layout.soc_head_idx + soc.start
         z = z.at[heads].set(1.0)
         s = s.at[heads].set(1.0)
     if layout.num_exp or layout.num_pow or layout.num_genpow:
@@ -145,7 +146,7 @@ def set_identity_scaling(layout: ConeLayout, dtype):
         state["nn_w"] = jnp.ones(layout.n_nn, dtype)
         state["nn_lam"] = jnp.zeros(layout.n_nn, dtype)
     if layout.num_soc:
-        w = jnp.zeros(layout.m_soc, dtype).at[jnp.asarray(layout.soc_head_idx)].set(1.0)
+        w = jnp.zeros(layout.m_soc, dtype).at[layout.soc_head_idx].set(1.0)
         state["soc_w"] = w
         state["soc_eta"] = jnp.ones(layout.num_soc, dtype)
         state["soc_lam"] = jnp.zeros(layout.m_soc, dtype)
@@ -177,7 +178,7 @@ def update_scaling(layout: ConeLayout, state, s, z, mu, strategy):
         sl = layout.slice_of(api.SOC)
         si, zi = s[sl], z[sl]
         seg = _seg(layout)
-        hidx = jnp.asarray(layout.soc_head_idx)
+        hidx = layout.soc_head_idx
         # reference: socone.rs:134-211
         zres = _soc_residual(layout, zi)
         sres = _soc_residual(layout, si)
@@ -187,7 +188,7 @@ def update_scaling(layout: ConeLayout, state, s, z, mu, strategy):
 
         eta = jnp.sqrt(sscale / zscale)
 
-        sgn = jnp.where(jnp.asarray(layout.soc_head_mask), 1.0, -1.0)
+        sgn = jnp.where(layout.soc_head_mask, 1.0, -1.0)
         w = si / sscale[seg] + sgn * zi / zscale[seg]
         wres = _soc_residual(layout, w)
         ok = ok & jnp.all(wres > 0)
@@ -251,7 +252,7 @@ def hs_dense(layout: ConeLayout, state, dtype):
         same = seg[:, None] == seg[None, :]
         blk = 2.0 * jnp.where(same, u[:, None] * u[None, :], 0.0)
         diag = jnp.where(
-            jnp.asarray(layout.soc_head_mask), -(eta[seg] ** 2), eta[seg] ** 2
+            layout.soc_head_mask, -(eta[seg] ** 2), eta[seg] ** 2
         )
         blk = blk + jnp.diag(diag)
         H = H.at[sl, sl].set(blk)
@@ -284,7 +285,7 @@ def mul_hs(layout: ConeLayout, state, x):
         w, eta = state["soc_w"], state["soc_eta"]
         # reference: socone.rs:248-256
         c = 2.0 * _soc_sum(layout, w * xi)
-        out = jnp.where(jnp.asarray(layout.soc_head_mask), -xi, xi) + c[seg] * w
+        out = jnp.where(layout.soc_head_mask, -xi, xi) + c[seg] * w
         y = y.at[sl].set(eta[seg] ** 2 * out)
 
     if layout.num_exp or layout.num_pow or layout.num_genpow:
@@ -349,7 +350,7 @@ def combined_ds_shift(layout: ConeLayout, state, step_z, step_s, sigma_mu, z):
         wz = _soc_mul_w(layout, w, eta, step_z[sl], inverse=False)
         wis = _soc_mul_w(layout, w, eta, step_s[sl], inverse=True)
         out = _soc_circ(layout, wis, wz)
-        out = out.at[jnp.asarray(layout.soc_head_idx)].add(-sigma_mu)
+        out = out.at[layout.soc_head_idx].add(-sigma_mu)
         shift = shift.at[sl].set(out)
 
     if layout.num_exp or layout.num_pow or layout.num_genpow:
@@ -379,7 +380,7 @@ def ds_from_dz_offset(layout: ConeLayout, state, ds, z):
         sl = layout.slice_of(api.SOC)
         dsi, zi = ds[sl], z[sl]
         seg = _seg(layout)
-        hidx = jnp.asarray(layout.soc_head_idx)
+        hidx = layout.soc_head_idx
         w, eta, lam = state["soc_w"], state["soc_eta"], state["soc_lam"]
         # reference: socone.rs:266-287 (stabilized Wᵀ(λ \ ds))
         resz = _soc_residual(layout, zi)
@@ -399,7 +400,18 @@ def ds_from_dz_offset(layout: ConeLayout, state, ds, z):
         v = v / lam0[seg]
         out = out.at[sl].set(v)
 
-    # nonsymmetric and zero cones contribute zero offsets
+    # nonsymmetric cones pass ds through unchanged (expcone.rs:149-151,
+    # powcone.rs:142-144, genpowcone.rs:215-217); zero cones contribute zero
+    if layout.num_exp:
+        sl = layout.slice_of(api.EXP)
+        out = out.at[sl].set(ds[sl])
+    if layout.num_pow:
+        sl = layout.slice_of(api.POW)
+        out = out.at[sl].set(ds[sl])
+    if layout.num_genpow:
+        sl = layout.slice_of(api.GENPOW)
+        out = out.at[sl].set(ds[sl])
+
     if layout.num_psd:
         from . import psd as _psd
 
@@ -580,7 +592,7 @@ def scaled_unit_shift(layout: ConeLayout, z, alpha, pd):
 
     if layout.num_soc:
         sl = layout.slice_of(api.SOC)
-        heads = jnp.asarray(layout.soc_head_idx) + sl.start
+        heads = layout.soc_head_idx + sl.start
         z = z.at[heads].add(alpha)
 
     if layout.num_psd:
@@ -601,12 +613,12 @@ def rectify_equilibration(layout: ConeLayout, e):
     """
     if not layout.rectify_mask.any():
         return jnp.ones_like(e), False
-    seg = jnp.asarray(layout.cone_seg)
+    seg = layout.cone_seg
     sums = jax.ops.segment_sum(e, seg, num_segments=layout.num_cones,
                                indices_are_sorted=False)
     counts = jax.ops.segment_sum(jnp.ones_like(e), seg,
                                  num_segments=layout.num_cones,
                                  indices_are_sorted=False)
     mean = sums / jnp.maximum(counts, 1.0)
-    delta = jnp.where(jnp.asarray(layout.rectify_mask), mean[seg] / e, 1.0)
+    delta = jnp.where(layout.rectify_mask, mean[seg] / e, 1.0)
     return delta, True

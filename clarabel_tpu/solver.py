@@ -99,7 +99,8 @@ def _build_solve_fn(layout: ConeLayout, settings: DefaultSettings,
     """Compile-cached solve function specialized on the static problem
     structure (layout, settings, shapes)."""
     dtype = jnp.dtype(dtype_name)
-    triu_mask = jnp.asarray(np.triu(np.ones((n, n))), dtype)
+    # NumPy constant: embedded at trace time without touching any device
+    triu_mask = np.triu(np.ones((n, n), dtype))
 
     def solve_core(P, q, A, b):
         # unscaled inf-norms of the linear terms, cached before
@@ -243,7 +244,9 @@ class DefaultSolver:
                     device = jax.devices()[0]
             self._device = device
 
-            put = lambda v: jax.device_put(jnp.asarray(v, self._dtype), device)
+            # NB: stage through NumPy (not jnp) so nothing round-trips via
+            # the default accelerator device
+            put = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
             self._P = put(P)
             self._q = put(q)
             self._A = put(A)
