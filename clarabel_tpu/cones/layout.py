@@ -22,6 +22,36 @@ from .api import ConeSpec
 _GROUP_ORDER = (api.ZERO, api.NONNEGATIVE, api.SOC, api.EXP, api.POW, api.GENPOW, api.PSD)
 
 
+class PSDBucket:
+    """All PSD cones sharing one matrix dimension ``n``.
+
+    ``svec`` packing follows the reference convention (column-major upper
+    triangle with √2-scaled off-diagonals; src/algebra/dense/types.rs), so
+    Frobenius inner products equal svec dot products.
+    """
+
+    def __init__(self, n: int, offsets):
+        self.n = n
+        self.tri = (n * (n + 1)) // 2
+        self.count = len(offsets)
+        # gather index [count, tri] into the PSD group vector
+        self.gather = np.asarray(
+            [np.arange(o, o + self.tri) for o in offsets], np.int32
+        )
+        # svec position p <-> (row I[p], col J[p]) with I <= J
+        I, J = [], []
+        for col in range(n):
+            for row in range(col + 1):
+                I.append(row)
+                J.append(col)
+        self.I = np.asarray(I, np.int32)
+        self.J = np.asarray(J, np.int32)
+        self.is_diag = self.I == self.J
+        # scale factors: mat->svec multiplies off-diag by √2
+        self.pack_scale = np.where(self.is_diag, 1.0, np.sqrt(2.0))
+        self.unpack_scale = 1.0 / self.pack_scale
+
+
 class ConeLayout:
     """Immutable layout of a composite cone over ``m`` constraint rows."""
 
@@ -117,9 +147,23 @@ class ConeLayout:
             self.genpow_alpha = np.zeros(0, np.float64)
 
         # ---- PSD triangle cone metadata ------------------------------
+        # cones are bucketed by matrix dimension n; each bucket batches all
+        # its cones into [k, n, n] tensors for vmapped linalg
         self.psd_dims = tuple(c.dim for c in self.cones if c.kind == api.PSD)
         self.num_psd = len(self.psd_dims)
         self.m_psd = sum(api._triangular_number(d) for d in self.psd_dims)
+        self.psd_buckets = []  # list of PSDBucket
+        if self.num_psd:
+            # svec order within the PSD group follows cone order; bucket
+            # cones of equal n together with gather indices into the group
+            by_n = {}
+            off = 0
+            for d in self.psd_dims:
+                t = api._triangular_number(d)
+                by_n.setdefault(d, []).append(off)
+                off += t
+            for n_mat, offs in sorted(by_n.items()):
+                self.psd_buckets.append(PSDBucket(n_mat, offs))
 
         # per-cone segment ids over the whole (permuted) m-vector, used by
         # equilibration rectification; plus a mask of entries whose cone

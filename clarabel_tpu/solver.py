@@ -93,11 +93,13 @@ def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
     return U + np.triu(P, 1).T
 
 
-@functools.lru_cache(maxsize=64)
-def _build_solve_fn(layout: ConeLayout, settings: DefaultSettings,
-                    n: int, p_is_zero: bool, dtype_name: str):
-    """Compile-cached solve function specialized on the static problem
-    structure (layout, settings, shapes)."""
+def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
+                     n: int, p_is_zero: bool, dtype_name: str):
+    """The un-jitted single-problem solve function (P, q, A, b) -> outputs.
+
+    Pure and fixed-shape: suitable for jit, vmap (problem batches) and
+    shard_map (device meshes).
+    """
     dtype = jnp.dtype(dtype_name)
     # NumPy constant: embedded at trace time without touching any device
     triu_mask = np.triu(np.ones((n, n), dtype))
@@ -159,7 +161,14 @@ def _build_solve_fn(layout: ConeLayout, settings: DefaultSettings,
             "ktratio": st.ktratio,
         }
 
-    return jax.jit(solve_core)
+    return solve_core
+
+
+@functools.lru_cache(maxsize=64)
+def _build_solve_fn(layout: ConeLayout, settings: DefaultSettings,
+                    n: int, p_is_zero: bool, dtype_name: str):
+    """Compile-cached jitted solve function."""
+    return jax.jit(build_solve_core(layout, settings, n, p_is_zero, dtype_name))
 
 
 def _default_dtype() -> str:
