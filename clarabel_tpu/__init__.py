@@ -23,6 +23,7 @@ from .cones.api import (
     ZeroConeT,
 )
 from .infbound import default_infinity, get_infinity, set_infinity
+from .parallel import BatchSolution, BatchSolver
 from .settings import DefaultSettings, SettingsError
 from .solver import DefaultInfo, DefaultSolution, DefaultSolver
 from .statuses import SolverStatus
@@ -31,6 +32,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DefaultSolver",
+    "BatchSolver",
+    "BatchSolution",
     "DefaultSettings",
     "DefaultSolution",
     "DefaultInfo",

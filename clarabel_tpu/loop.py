@@ -70,6 +70,10 @@ class SolverState(NamedTuple):
     status: jax.Array
     scaling: jax.Array
 
+    # per-iteration progress table [max_iter+1, 9]:
+    # (pcost, dcost, gap_abs, gap_rel, pres, dres, k/t, μ, step)
+    history: jax.Array
+
 
 class Residuals(NamedTuple):
     rx: jax.Array
@@ -347,6 +351,27 @@ def kkt_solve(
     return (dx, ds, dz, dtau, dkappa), ok
 
 
+def _make_factor_fn(layout, settings, dtype, n):
+    """Select the dense factorization backend.
+
+    "auto" mirrors the reference's auto backend choice (ldlsolvers/auto.rs):
+    on the f32/TPU path the Schur-complement Cholesky condensation lowers
+    natively onto the MXU; the f64 validation path keeps the pivoted-LU
+    quasidefinite solve.  Zero cones make the condensation ill-posed (their
+    H block is only the ε regularization), so they force the LU path.
+    """
+    method = settings.direct_solve_method
+    if method == "auto":
+        method = (
+            "schur"
+            if (jnp.dtype(dtype) == jnp.float32 and layout.n_zero == 0)
+            else "lu"
+        )
+    if method == "schur":
+        return lambda K_reg: kkt_dense.factor_schur(K_reg, n)
+    return kkt_dense.factor
+
+
 def default_start(layout, settings, P, q, A, b, p_is_zero, dtype):
     """Initial iterate.  reference: solver.rs:525-541, kktsystem.rs:211-259,
     variables.rs:164-178, 231-256."""
@@ -361,7 +386,7 @@ def default_start(layout, settings, P, q, A, b, p_is_zero, dtype):
     state0 = cone_ops.set_identity_scaling(layout, dtype)
     Hs = cone_ops.hs_dense(layout, state0, dtype)
     K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
-    factors, _ = kkt_dense.factor(K_reg)
+    factors, _ = _make_factor_fn(layout, settings, dtype, n)(K_reg)
 
     if p_is_zero:
         # LP initialization (kktsystem.rs:219-245)
@@ -406,8 +431,13 @@ def _shift_to_cone_interior(layout, v, pd):
     return v
 
 
-def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype):
+def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
+            callback=None):
     """The main loop.  Returns the final SolverState.
+
+    ``callback``, when given, is a host function (dict of scalars) -> bool
+    invoked once per iteration; returning True terminates the solve with
+    CallbackTerminated (reference: callbacks.rs:93-96, solver.rs:311-314).
 
     reference: solver.rs:242-465
     """
@@ -437,6 +467,7 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype)
         dot_qx=f(0.0), dot_bz=f(0.0),
         status=jnp.asarray(_UNSOLVED, jnp.int32),
         scaling=jnp.asarray(init_scaling, jnp.int32),
+        history=jnp.full((settings.max_iter + 1, 9), jnp.nan, dtype),
     )
 
     def cond(st: SolverState):
@@ -446,7 +477,45 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype)
         r = compute_residuals(P, q, A, b, st.x, st.s, st.z, st.tau, st.kappa)
         mu = calc_mu(layout, r, st.tau, st.kappa)
         st = update_info(st._replace(mu=mu), r, equil, normq, normb)
+
+        # record the progress row for this iterate (info_print.rs per-iter
+        # table); α/σ are the values from the step that produced it
+        row = jnp.stack(
+            [
+                st.cost_primal, st.cost_dual, st.gap_abs, st.gap_rel,
+                st.res_primal, st.res_dual, st.ktratio, mu, st.step_length,
+            ]
+        )
+        st = st._replace(history=st.history.at[st.iterations].set(row))
+
         status = check_termination(st, settings, dtype)
+
+        # user termination callback (checked before internal statuses win;
+        # solver.rs:310-314)
+        if callback is not None:
+            from jax.experimental import io_callback
+
+            info_snapshot = {
+                "iterations": st.iterations,
+                "cost_primal": st.cost_primal,
+                "cost_dual": st.cost_dual,
+                "gap_abs": st.gap_abs,
+                "gap_rel": st.gap_rel,
+                "res_primal": st.res_primal,
+                "res_dual": st.res_dual,
+                "ktratio": st.ktratio,
+                "mu": mu,
+                "step_length": st.step_length,
+            }
+            stop = io_callback(
+                callback,
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                info_snapshot,
+                ordered=True,
+            )
+            status = jnp.where(
+                stop, int(SolverStatus.CallbackTerminated), status
+            ).astype(jnp.int32)
 
         # --- strategy checkpoint: insufficient progress (solver.rs:586-609)
         is_ip = status == int(SolverStatus.InsufficientProgress)
@@ -483,7 +552,7 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype)
             # --- KKT update + constant-term solve (kktsystem.rs:108-125)
             Hs = cone_ops.hs_dense(layout, scaling_state, dtype)
             K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
-            factors, ok_f = kkt_dense.factor(K_reg)
+            factors, ok_f = _make_factor_fn(layout, settings, dtype, n)(K_reg)
             sol_c, ok_c = kkt_dense.solve_refined(
                 factors, K, jnp.concatenate([-q, b]), settings
             )

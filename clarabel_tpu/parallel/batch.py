@@ -1,0 +1,172 @@
+"""Scenario-batch data parallelism: vmapped IPM over problem batches.
+
+This is the first-class parallelism axis of the TPU design (SURVEY.md §2.9):
+many conic programs with identical structure (same cone layout and shapes,
+different numeric data) solve as ONE vmapped XLA computation, sharded over a
+device mesh.  Per-instance convergence is handled by the solver's own
+masked-state while loop — converged lanes freeze while the batch runs to
+collective completion, and XLA inserts the cross-device reduction for the
+loop predicate automatically.
+
+The reference has no equivalent (it is a single-threaded library); this is
+the throughput path for MPC/scenario/portfolio workloads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from .. import solver as _solver
+from ..cones import api
+from ..cones.layout import ConeLayout
+from ..infbound import get_infinity
+from ..settings import DefaultSettings
+from ..statuses import SolverStatus
+
+
+@dataclasses.dataclass
+class BatchSolution:
+    """Stacked solutions for a problem batch (leading axis = batch)."""
+
+    x: np.ndarray
+    z: np.ndarray
+    s: np.ndarray
+    status: np.ndarray  # int codes; map via SolverStatus(...)
+    obj_val: np.ndarray
+    obj_val_dual: np.ndarray
+    iterations: np.ndarray
+    r_prim: np.ndarray
+    r_dual: np.ndarray
+    solve_time: float
+
+    def statuses(self):
+        return [SolverStatus(int(v)) for v in self.status]
+
+
+class BatchSolver:
+    """Solve a batch of structurally identical conic programs in one shot.
+
+    P: [B, n, n], q: [B, n], A: [B, m, n], b: [B, m].  All instances share
+    the cone layout.  The batch axis shards over ``mesh`` (a 1-D
+    ``jax.sharding.Mesh``) when given; otherwise a mesh over all local
+    devices of the target backend is used when the batch divides evenly.
+    """
+
+    def __init__(
+        self,
+        P,
+        q,
+        A,
+        b,
+        cones: Sequence[api.ConeSpec],
+        settings: Optional[DefaultSettings] = None,
+        dtype: Optional[str] = None,
+        mesh: Optional[Mesh] = None,
+        device=None,
+    ):
+        self.settings = settings if settings is not None else DefaultSettings()
+        self.settings.validate()
+
+        q = np.asarray(q, np.float64)
+        b = np.asarray(b, np.float64)
+        P = np.asarray(P, np.float64)
+        A = np.asarray(A, np.float64)
+        if q.ndim != 2:
+            raise ValueError("batched q must be [B, n]")
+        B, n = q.shape
+        m = b.shape[1]
+        if P.shape != (B, n, n) or A.shape != (B, m, n) or b.shape != (B, m):
+            raise ValueError("inconsistent batch shapes")
+
+        cones = tuple(cones)
+        if sum(c.nvars for c in cones) != m:
+            raise ValueError("cone dims do not match b")
+
+        # symmetrize-by-triu per instance (matches DefaultSolver semantics)
+        U = np.triu(P)
+        P = U + np.transpose(np.triu(P, 1), (0, 2, 1))
+
+        # NB: row-reduction presolve is value-dependent and would fragment
+        # the batch into different shapes; batch mode caps b at the infinity
+        # bound instead (equivalent unless rows are fully redundant).
+        b = np.minimum(b, get_infinity())
+
+        cones_int = api.collapse_cones(cones)
+        self._layout = ConeLayout(cones_int)
+        perm = self._layout.perm
+        A = A[:, perm, :]
+        b = b[:, perm]
+
+        self.B, self.n, self.m = B, n, m
+        self._dtype = dtype or _solver._default_dtype()
+        self._p_is_zero = not np.any(P)
+
+        if device is None and mesh is None:
+            device = (
+                jax.devices("cpu")[0] if self._dtype == "float64" else jax.devices()[0]
+            )
+
+        core = _solver.build_solve_core(
+            self._layout, self.settings, n, self._p_is_zero, self._dtype
+        )
+        batched = jax.vmap(core)
+
+        if mesh is not None:
+            self._mesh = mesh
+            axis = mesh.axis_names[0]
+            data_sharding = NamedSharding(mesh, PSpec(axis))
+            self._solve_fn = jax.jit(
+                batched,
+                in_shardings=(
+                    NamedSharding(mesh, PSpec(axis, None, None)),
+                    data_sharding,
+                    NamedSharding(mesh, PSpec(axis, None, None)),
+                    data_sharding,
+                ),
+            )
+            put = lambda v: jax.device_put(
+                np.asarray(v, self._dtype),
+                NamedSharding(mesh, PSpec(*([axis] + [None] * (v.ndim - 1)))),
+            )
+        else:
+            self._mesh = None
+            self._solve_fn = jax.jit(batched)
+            put = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
+
+        self._P = put(P)
+        self._q = put(q)
+        self._A = put(A)
+        self._b = put(b)
+
+    # ------------------------------------------------------------------
+    def solve(self) -> BatchSolution:
+        t0 = time.perf_counter()
+        out = self._solve_fn(self._P, self._q, self._A, self._b)
+        out = jax.tree.map(np.asarray, jax.device_get(out))
+        solve_time = time.perf_counter() - t0
+
+        # undo the cone permutation per instance
+        iperm = self._layout.iperm
+        z = out["z"][:, iperm]
+        s = out["s"][:, iperm]
+
+        return BatchSolution(
+            x=out["x"],
+            z=z,
+            s=s,
+            status=out["status"],
+            obj_val=out["obj_val"],
+            obj_val_dual=out["obj_val_dual"],
+            iterations=out["iterations"],
+            r_prim=out["r_prim"],
+            r_dual=out["r_dual"],
+            solve_time=solve_time,
+        )

@@ -52,6 +52,19 @@ class DefaultSolution:
 
 
 @dataclasses.dataclass
+class EquilibrationData:
+    """Ruiz equilibration scalings (reference: equilibration.rs:9-47).
+
+    ``e`` is reported in the user's row order (the internal solver permutes
+    rows by cone group).
+    """
+
+    d: np.ndarray
+    e: np.ndarray
+    c: float
+
+
+@dataclasses.dataclass
 class DefaultInfo:
     """Progress information from the final iteration.  reference: info.rs:13-64"""
 
@@ -110,10 +123,10 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
         normq = jnp.max(jnp.abs(q), initial=0.0)
         normb = jnp.max(jnp.abs(b), initial=0.0)
 
-        P, q, A, b, d, e, c = equilibration.equilibrate(
+        P, q, A, b, d, e, c_scale = equilibration.equilibrate(
             layout, settings, P, q, A, b, triu_mask
         )
-        dinv, einv, cinv = 1.0 / d, 1.0 / e, 1.0 / c
+        dinv, einv, cinv = 1.0 / d, 1.0 / e, 1.0 / c_scale
         equil = (d, e, dinv, einv, cinv)
 
         st = run_ipm(
@@ -159,6 +172,9 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             "gap_abs": st.gap_abs,
             "gap_rel": st.gap_rel,
             "ktratio": st.ktratio,
+            "equil_d": d,
+            "equil_e": e,
+            "equil_c": c_scale,
         }
 
     return solve_core
@@ -268,6 +284,7 @@ class DefaultSolver:
 
         self.info = DefaultInfo()
         self.solution: Optional[DefaultSolution] = None
+        self.equilibration: Optional[EquilibrationData] = None
 
     # ------------------------------------------------------------------
     def solve(self) -> DefaultSolution:
@@ -278,6 +295,14 @@ class DefaultSolver:
         solve_time = time.perf_counter() - t0
 
         status = SolverStatus(int(out["status"]))
+
+        e_user = np.empty(self.m, np.float64)
+        e_user[self._layout.perm] = out["equil_e"]
+        self.equilibration = EquilibrationData(
+            d=np.asarray(out["equil_d"], np.float64),
+            e=e_user,
+            c=float(out["equil_c"]),
+        )
 
         # undo the cone-group permutation
         z_int = np.empty(self.m, out["z"].dtype)
