@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import io as _io
+import sys
 import time
 from typing import Optional, Sequence
 
@@ -85,16 +87,29 @@ class DefaultInfo:
     status: SolverStatus = SolverStatus.Unsolved
 
 
-def _to_dense(M, name: str) -> np.ndarray:
-    """Accept scipy.sparse / array-likes, return dense float64 ndarray."""
+def _to_dense(M, name: str):
+    """Accept scipy.sparse / array-likes; return (dense f64 ndarray, csc).
+
+    The CSC structure (scipy csc_matrix) is retained so that the
+    nzval-indexed partial-update API of the reference
+    (data_updating.rs:68-160) keeps its exact semantics.
+    """
     if M is None:
         raise ValueError(f"{name} may not be None")
-    if hasattr(M, "toarray"):  # scipy.sparse
-        M = M.toarray()
+    csc = None
+    if hasattr(M, "tocsc"):  # scipy.sparse
+        csc = M.tocsc().copy()
+        csc.sort_indices()
+        M = csc.toarray()
     M = np.asarray(M, np.float64)
     if M.ndim != 2:
         raise ValueError(f"{name} must be 2-dimensional")
-    return M
+    if csc is None:
+        import scipy.sparse as sp
+
+        csc = sp.csc_matrix(M)
+        csc.sort_indices()
+    return M, csc
 
 
 def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
@@ -107,11 +122,13 @@ def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
 
 
 def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
-                     n: int, p_is_zero: bool, dtype_name: str):
+                     n: int, p_is_zero: bool, dtype_name: str,
+                     callback=None):
     """The un-jitted single-problem solve function (P, q, A, b) -> outputs.
 
     Pure and fixed-shape: suitable for jit, vmap (problem batches) and
-    shard_map (device meshes).
+    shard_map (device meshes).  ``callback`` (host fn dict->bool) enables
+    per-iteration termination callbacks on the single-problem path.
     """
     dtype = jnp.dtype(dtype_name)
     # NumPy constant: embedded at trace time without touching any device
@@ -130,7 +147,8 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
         equil = (d, e, dinv, einv, cinv)
 
         st = run_ipm(
-            layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype
+            layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
+            callback=callback,
         )
 
         # ---- solution post-processing (solution.rs:68-111,
@@ -175,6 +193,7 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             "equil_d": d,
             "equil_e": e,
             "equil_c": c_scale,
+            "history": st.history,
         }
 
     return solve_core
@@ -213,8 +232,15 @@ class DefaultSolver:
         with self.timers.scope("setup"):
             q = np.asarray(q, np.float64).ravel()
             b = np.asarray(b, np.float64).ravel()
-            P = _to_dense(P, "P")
-            A = _to_dense(A, "A")
+            P, P_csc = _to_dense(P, "P")
+            A, A_csc = _to_dense(A, "A")
+            # retain triu CSC structure of P for nzval-indexed updates
+            # (the internal P is the triu part treated as symmetric)
+            import scipy.sparse as sp
+
+            self._P_csc = sp.triu(P_csc, format="csc")
+            self._P_csc.sort_indices()
+            self._A_csc = A_csc
 
             # dimension checks (default/solver.rs:129-159)
             n = q.shape[0]
@@ -247,6 +273,15 @@ class DefaultSolver:
                 b = np.minimum(b, get_infinity())
 
                 self._layout = ConeLayout(cones_int)
+
+                # user-frame copies (post-presolve, pre-permutation) for
+                # data updating and JSON round-trips
+                self._cones_user = cones
+                self._cones_int = cones_int
+                self._np_P = P
+                self._np_q = q.copy()
+                self._np_A = A.copy()
+                self._np_b = b.copy()
 
                 # permute rows so cone groups are contiguous
                 perm = self._layout.perm
@@ -285,6 +320,9 @@ class DefaultSolver:
         self.info = DefaultInfo()
         self.solution: Optional[DefaultSolution] = None
         self.equilibration: Optional[EquilibrationData] = None
+        self._callback = None
+        self._print_stream = sys.stdout
+        self._print_buffer = None
 
     # ------------------------------------------------------------------
     def solve(self) -> DefaultSolution:
@@ -347,18 +385,260 @@ class DefaultSolver:
         )
 
         if self.settings.verbose:
-            self._print_footer()
+            self._print_report(out["history"])
+        self.iteration_history = np.asarray(out["history"])
 
         return self.solution
 
     # ------------------------------------------------------------------
-    def _print_footer(self):  # pragma: no cover - cosmetic
+    # data updating (reference: data_updating.rs:68-160)
+    # ------------------------------------------------------------------
+
+    def is_data_update_allowed(self) -> bool:
+        """Updates are disallowed after presolve reduction
+        (data_updating.rs:10-24, 153+)."""
+        return self._presolver is None
+
+    def _check_update_allowed(self):
+        if not self.is_data_update_allowed():
+            raise ValueError(
+                "problem data cannot be updated after presolve reduction; "
+                "construct the solver with presolve_enable=False to use "
+                "parametric updates"
+            )
+
+    @staticmethod
+    def _apply_matrix_update(dense, csc, data, symmetric):
+        """Apply a full-matrix / nzval-vector / (index, value) update."""
+        if hasattr(data, "tocsc") or (
+            isinstance(data, np.ndarray) and data.ndim == 2
+        ):
+            new, new_csc = _to_dense(data, "update")
+            if symmetric:
+                new = _symmetrize_triu(new)
+            if new.shape != dense.shape:
+                raise ValueError("updated matrix has wrong shape")
+            dense[...] = new
+            return
+        if isinstance(data, tuple) and len(data) == 2:
+            idx, vals = data
+            idx = np.asarray(idx, np.int64).ravel()
+            vals = np.asarray(vals, np.float64).ravel()
+        else:
+            vals = np.asarray(data, np.float64).ravel()
+            if vals.shape[0] != csc.nnz:
+                raise ValueError(
+                    f"expected {csc.nnz} values for full nzval update"
+                )
+            idx = np.arange(csc.nnz)
+        # map nzval indices -> (row, col) through the stored CSC structure
+        rows = csc.indices[idx]
+        cols = np.searchsorted(csc.indptr, idx, side="right") - 1
+        dense[rows, cols] = vals
+        if symmetric:
+            dense[cols, rows] = vals
+
+    def _push_data(self):
+        put = lambda v: jax.device_put(np.asarray(v, self._dtype), self._device)
+        perm = self._layout.perm
+        self._P = put(self._np_P)
+        self._q = put(self._np_q)
+        self._A = put(self._np_A[perm, :])
+        self._b = put(np.minimum(self._np_b, get_infinity())[perm])
+        p_is_zero = not np.any(self._np_P)
+        if p_is_zero != self._p_is_zero:
+            self._p_is_zero = p_is_zero
+            self._rebuild_solve_fn()
+
+    def update_P(self, data):
+        """Update the P matrix: full matrix, full nzval vector, or
+        (nzval-indices, values).  reference: data_updating.rs:98-116"""
+        self._check_update_allowed()
+        self._apply_matrix_update(self._np_P, self._P_csc, data, symmetric=True)
+        self._push_data()
+
+    def update_A(self, data):
+        """reference: data_updating.rs:118-132"""
+        self._check_update_allowed()
+        self._apply_matrix_update(self._np_A, self._A_csc, data, symmetric=False)
+        self._push_data()
+
+    @staticmethod
+    def _apply_vector_update(vec, data):
+        if isinstance(data, tuple) and len(data) == 2:
+            idx, vals = data
+            vec[np.asarray(idx, np.int64).ravel()] = np.asarray(
+                vals, np.float64
+            ).ravel()
+        else:
+            vals = np.asarray(data, np.float64).ravel()
+            if vals.shape[0] != vec.shape[0]:
+                raise ValueError("updated vector has wrong length")
+            vec[...] = vals
+
+    def update_q(self, data):
+        """reference: data_updating.rs:135-146"""
+        self._check_update_allowed()
+        self._apply_vector_update(self._np_q, data)
+        self._push_data()
+
+    def update_b(self, data):
+        """reference: data_updating.rs:148-160"""
+        self._check_update_allowed()
+        self._apply_vector_update(self._np_b, data)
+        self._push_data()
+
+    def update_data(self, P=None, q=None, A=None, b=None):
+        """Combined update (reference: data_updating.rs:68-86)."""
+        self._check_update_allowed()
+        if P is not None:
+            self._apply_matrix_update(self._np_P, self._P_csc, P, symmetric=True)
+        if A is not None:
+            self._apply_matrix_update(self._np_A, self._A_csc, A, symmetric=False)
+        if q is not None:
+            self._apply_vector_update(self._np_q, q)
+        if b is not None:
+            self._apply_vector_update(self._np_b, b)
+        self._push_data()
+
+    # ------------------------------------------------------------------
+    # settings and callbacks
+    # ------------------------------------------------------------------
+
+    def _rebuild_solve_fn(self):
+        if self._callback is None:
+            self._solve_fn = _build_solve_fn(
+                self._layout, self.settings, self.n, self._p_is_zero, self._dtype
+            )
+        else:
+            self._solve_fn = jax.jit(
+                build_solve_core(
+                    self._layout,
+                    self.settings,
+                    self.n,
+                    self._p_is_zero,
+                    self._dtype,
+                    callback=self._callback,
+                )
+            )
+
+    def update_settings(self, settings: DefaultSettings):
+        """Replace settings between solves; structure-determining settings
+        are immutable (settings.rs:259-335)."""
+        settings.validate_as_update(self.settings)
+        self.settings = settings
+        self._rebuild_solve_fn()
+
+    def set_termination_callback(self, callback):
+        """Install a per-iteration termination callback.  The callback
+        receives a ``DefaultInfo`` and returns True to stop the solver
+        (reference: callbacks.rs, solver.rs:310-314)."""
+
+        def host_cb(snapshot):
+            info = DefaultInfo(
+                mu=float(snapshot["mu"]),
+                step_length=float(snapshot["step_length"]),
+                iterations=int(snapshot["iterations"]),
+                cost_primal=float(snapshot["cost_primal"]),
+                cost_dual=float(snapshot["cost_dual"]),
+                res_primal=float(snapshot["res_primal"]),
+                res_dual=float(snapshot["res_dual"]),
+                gap_abs=float(snapshot["gap_abs"]),
+                gap_rel=float(snapshot["gap_rel"]),
+                ktratio=float(snapshot["ktratio"]),
+            )
+            return np.bool_(bool(callback(info)))
+
+        self._callback = host_cb
+        self._rebuild_solve_fn()
+
+    def unset_termination_callback(self):
+        self._callback = None
+        self._rebuild_solve_fn()
+
+    # ------------------------------------------------------------------
+    # JSON problem io (reference: json.rs)
+    # ------------------------------------------------------------------
+
+    def save_to_file(self, path):
+        """Write (P, q, A, b, cones, settings) as reference-format JSON."""
+        from . import json_io
+
+        json_io.save_problem(
+            path,
+            self._np_P,
+            self._np_q,
+            self._np_A,
+            self._np_b,
+            self._cones_int,
+            self.settings,
+        )
+
+    @classmethod
+    def load_from_file(cls, path, settings: Optional[DefaultSettings] = None,
+                       **kwargs):
+        """Construct a solver from a reference-format JSON problem file."""
+        from . import json_io
+
+        P, q, A, b, cones, s = json_io.load_problem(path, settings)
+        return cls(P, q, A, b, cones, s, **kwargs)
+
+    # ------------------------------------------------------------------
+    # printing (reference: io/mod.rs print targets, info_print.rs)
+    # ------------------------------------------------------------------
+
+    def print_to_stdout(self):
+        self._print_stream = sys.stdout
+        self._print_buffer = None
+
+    def print_to_file(self, path):
+        self._print_stream = open(path, "w")
+        self._print_buffer = None
+
+    def print_to_buffer(self):
+        self._print_buffer = _io.StringIO()
+        self._print_stream = self._print_buffer
+
+    def get_print_buffer(self) -> str:
+        if self._print_buffer is None:
+            raise ValueError("print_to_buffer() was not enabled")
+        return self._print_buffer.getvalue()
+
+    def print_to_sink(self):
+        self._print_stream = None
+        self._print_buffer = None
+
+    def _print(self, *args, **kwargs):
+        if self._print_stream is not None:
+            print(*args, file=self._print_stream, **kwargs)
+
+    def _print_report(self, history):  # pragma: no cover - cosmetic
+        p = self._print
+        p("-------------------------------------------------------------")
+        from . import __version__
+
+        p(f"           clarabel_tpu v{__version__}  -  TPU-native conic IPM")
+        p("-------------------------------------------------------------")
+        L = self._layout
+        p(f"problem:  variables n = {self.n}, constraints m = {self.m}")
+        p(f"cones:    {list(L.cones)}")
+        p(f"settings: dtype = {self._dtype}, device = {self._device}")
+        p("iter    pcost        dcost       gap       pres      dres      "
+          "k/t       μ        step")
+        rows = np.asarray(history)
+        for it in range(rows.shape[0]):
+            r = rows[it]
+            if np.all(np.isnan(r)):
+                break
+            p(
+                f"{it:3d}  {r[0]:+.4e}  {r[1]:+.4e}  {r[3]:.2e}  {r[4]:.2e}"
+                f"  {r[5]:.2e}  {r[6]:.2e}  {r[7]:.2e}  {r[8]:.2e}"
+            )
         i = self.info
-        print(
-            f"[clarabel_tpu] status = {i.status.name}, iterations = {i.iterations}, "
-            f"obj = {i.cost_primal:.6e}, gap = {i.gap_abs:.3e}, "
-            f"pres = {i.res_primal:.3e}, dres = {i.res_dual:.3e}, "
-            f"time = {i.solve_time * 1e3:.2f} ms"
+        p("-------------------------------------------------------------")
+        p(
+            f"status = {i.status.name}, iterations = {i.iterations}, "
+            f"obj = {i.cost_primal:.6e}, solve time = {i.solve_time*1e3:.2f} ms"
         )
 
     def print_timers(self):  # pragma: no cover - cosmetic
