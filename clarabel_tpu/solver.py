@@ -272,10 +272,8 @@ class DefaultSolver:
                 # cap b at the infinity bound (problemdata.rs:126-131)
                 b = np.minimum(b, get_infinity())
 
-                self._layout = ConeLayout(cones_int)
-
-                # user-frame copies (post-presolve, pre-permutation) for
-                # data updating and JSON round-trips
+                # user-frame copies (post-presolve, pre-chordal) for data
+                # updating and JSON round-trips
                 self._cones_user = cones
                 self._cones_int = cones_int
                 self._np_P = P
@@ -283,14 +281,27 @@ class DefaultSolver:
                 self._np_A = A.copy()
                 self._np_b = b.copy()
 
+                # chordal decomposition of large sparse PSD cones
+                # (problemdata.rs:94-112)
+                from .chordal import try_chordal_info
+
+                self._chordal = try_chordal_info(A, b, cones_int, self.settings)
+                if self._chordal is not None:
+                    P, q, A, b, cones_int = self._chordal.decomp_augment(
+                        P, q, A, b, self.settings
+                    )
+
+                self._layout = ConeLayout(cones_int)
+
                 # permute rows so cone groups are contiguous
                 perm = self._layout.perm
                 A = A[perm, :]
                 b = b[perm]
 
-            self.n = n
-            self.m_full = m
-            self.m = self._layout.m
+            self.n = n  # original variable count
+            self.m_full = m  # original constraint count
+            self.m = self._layout.m  # internal (reduced / augmented) count
+            self._n_int = P.shape[0]  # internal variable count (chordal adds)
             self._dtype = dtype or _default_dtype()
             self._p_is_zero = not np.any(P)
 
@@ -314,7 +325,8 @@ class DefaultSolver:
 
             with self.timers.scope("kktinit"):
                 self._solve_fn = _build_solve_fn(
-                    self._layout, self.settings, n, self._p_is_zero, self._dtype
+                    self._layout, self.settings, self._n_int,
+                    self._p_is_zero, self._dtype,
                 )
 
         self.info = DefaultInfo()
@@ -347,6 +359,14 @@ class DefaultSolver:
         s_int = np.empty(self.m, out["s"].dtype)
         z_int[self._layout.perm] = out["z"]
         s_int[self._layout.perm] = out["s"]
+        x_int = np.asarray(out["x"], np.float64)
+
+        # undo the chordal decomposition (+ PSD dual completion)
+        # before the presolve reversal (solution.rs:92-105)
+        if self._chordal is not None:
+            x_int, z_int, s_int = self._chordal.decomp_reverse(
+                x_int, z_int, s_int, self.settings
+            )
 
         # undo presolve (solution.rs:96-105)
         if self._presolver is not None:
@@ -355,7 +375,7 @@ class DefaultSolver:
             z, s = z_int, s_int
 
         self.solution = DefaultSolution(
-            x=np.asarray(out["x"], np.float64),
+            x=x_int,
             z=np.asarray(z, np.float64),
             s=np.asarray(s, np.float64),
             status=status,
@@ -395,9 +415,9 @@ class DefaultSolver:
     # ------------------------------------------------------------------
 
     def is_data_update_allowed(self) -> bool:
-        """Updates are disallowed after presolve reduction
-        (data_updating.rs:10-24, 153+)."""
-        return self._presolver is None
+        """Updates are disallowed after presolve reduction or chordal
+        decomposition (data_updating.rs:10-24, 153+)."""
+        return self._presolver is None and self._chordal is None
 
     def _check_update_allowed(self):
         if not self.is_data_update_allowed():
@@ -508,14 +528,15 @@ class DefaultSolver:
     def _rebuild_solve_fn(self):
         if self._callback is None:
             self._solve_fn = _build_solve_fn(
-                self._layout, self.settings, self.n, self._p_is_zero, self._dtype
+                self._layout, self.settings, self._n_int, self._p_is_zero,
+                self._dtype,
             )
         else:
             self._solve_fn = jax.jit(
                 build_solve_core(
                     self._layout,
                     self.settings,
-                    self.n,
+                    self._n_int,
                     self._p_is_zero,
                     self._dtype,
                     callback=self._callback,

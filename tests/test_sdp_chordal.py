@@ -1,0 +1,102 @@
+"""Chordal SDP decomposition oracle (reference: tests/sdp_chordal.rs).
+
+The reference's combinatorial oracle: a chordally-decomposable mixed
+SDP/power-cone problem solved under every combination of
+{compact} x {complete_dual} x {merge_method}, asserting Solved each time.
+"""
+
+import numpy as np
+import pytest
+
+import clarabel_tpu as ct
+
+SQRT2 = np.sqrt(2.0)
+
+
+def sdp_chordal_data():
+    """reference: tests/sdp_chordal.rs:8-84 (same problem, dense form)."""
+    P = np.zeros((8, 8))
+    q = np.array([-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+    A = np.zeros((28, 8))
+    cols = {
+        0: [(24, -1.0)],
+        1: [(7, -SQRT2), (10, -1.0), (22, -1.0)],
+        2: [(8, -SQRT2)],
+        3: [(12, -SQRT2), (15, -1.0), (25, -1.0)],
+        4: [(9, -SQRT2)],
+        5: [(13, -SQRT2)],
+        6: [(18, -SQRT2), (21, -1.0), (26, -1.0)],
+        7: [(0, -1.0), (23, -1.0), (27, -1.0)],
+    }
+    for c, entries in cols.items():
+        for (r, v) in entries:
+            A[r, c] = v
+
+    b = np.zeros(28)
+    b[1] = 3.0
+    b[2] = 2.0 * SQRT2
+    b[3] = 2.0
+    b[4] = SQRT2
+    b[5] = SQRT2
+    b[6] = 3.0
+
+    cones = [
+        ct.NonnegativeConeT(1),
+        ct.PSDTriangleConeT(6),
+        ct.PowerConeT(1.0 / 3.0),
+        ct.PowerConeT(0.5),
+    ]
+    return P, q, A, b, cones
+
+
+@pytest.mark.parametrize("merge_method", ["none", "parent_child", "clique_graph"])
+@pytest.mark.parametrize("complete_dual", [False, True])
+@pytest.mark.parametrize("compact", [False, True])
+def test_sdp_chordal_all_configs(merge_method, complete_dual, compact):
+    P, q, A, b, cones = sdp_chordal_data()
+    settings = ct.DefaultSettings(
+        verbose=False,
+        chordal_decomposition_enable=True,
+        chordal_decomposition_compact=compact,
+        chordal_decomposition_merge_method=merge_method,
+        chordal_decomposition_complete_dual=complete_dual,
+    )
+    solver = ct.DefaultSolver(P, q, A, b, cones, settings)
+    sol = solver.solve()
+    assert sol.status == ct.SolverStatus.Solved
+
+    # solution must agree with the undecomposed solve
+    ref = ct.DefaultSolver(
+        P, q, A, b, cones,
+        ct.DefaultSettings(verbose=False, chordal_decomposition_enable=False),
+    ).solve()
+    assert abs(sol.obj_val - ref.obj_val) <= 1e-6
+    assert np.linalg.norm(sol.x - ref.x) <= 1e-5
+
+    if complete_dual:
+        # completed dual PSD block must be PSD
+        def svec_to_mat(x, n):
+            M = np.zeros((n, n))
+            idx = 0
+            for col in range(n):
+                for r in range(col + 1):
+                    v = x[idx] if r == col else x[idx] / SQRT2
+                    M[r, col] = M[col, r] = v
+                    idx += 1
+            return M
+
+        Z = svec_to_mat(sol.z[1:22], 6)
+        assert np.linalg.eigvalsh(Z).min() >= -1e-7
+
+
+def test_chordal_decomposition_occurs():
+    P, q, A, b, cones = sdp_chordal_data()
+    settings = ct.DefaultSettings(
+        verbose=False, chordal_decomposition_merge_method="none"
+    )
+    solver = ct.DefaultSolver(P, q, A, b, cones, settings)
+    assert solver._chordal is not None
+    assert len(solver._chordal.spatterns) == 1
+    # decomposition must add at least one extra clique cone
+    assert solver._chordal.spatterns[0].sntree.n_cliques > 1
