@@ -22,8 +22,14 @@ def minimum_degree_ordering(n: int, adj: Sequence[Set[int]]) -> np.ndarray:
     """Greedy minimum-degree ordering of an undirected graph.
 
     Returns ``perm`` with perm[k] = original vertex eliminated at step k
-    (so the permuted matrix is A[perm][:, perm]).
+    (so the permuted matrix is A[perm][:, perm]).  Dispatches to the native
+    C++ engine when available (clarabel_tpu.native).
     """
+    from .. import native
+
+    out = native.minimum_degree(n, adj)
+    if out is not None:
+        return out
     adj = [set(a) for a in adj]
     eliminated = [False] * n
     perm = []
@@ -54,8 +60,14 @@ def symbolic_cholesky(
 
     ``lower_cols[j]`` is the strictly-below-diagonal row set of column j.
     Returns (L_cols, parent): per-column sorted row lists of the factor
-    pattern and the elimination tree.
+    pattern and the elimination tree.  Dispatches to the native C++ engine
+    when available.
     """
+    from .. import native
+
+    out = native.symbolic_cholesky(n, lower_cols)
+    if out is not None:
+        return out
     NO_PARENT = -1
     patterns: List[Set[int]] = [set(c) for c in lower_cols]
     parent = np.full(n, NO_PARENT, np.int64)

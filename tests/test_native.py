@@ -1,0 +1,66 @@
+"""Native C++ symbolic engine vs. the pure-Python fallback."""
+
+import numpy as np
+import pytest
+
+from clarabel_tpu import native
+from clarabel_tpu.chordal import symbolic as pysym
+
+
+def random_pattern(n, density, seed):
+    rng = np.random.default_rng(seed)
+    adj = [set() for _ in range(n)]
+    lower = [set() for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < density:
+                adj[i].add(j)
+                adj[j].add(i)
+                lower[i].add(j)
+    return adj, lower
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_native_minimum_degree_is_valid_permutation():
+    n = 30
+    adj, _ = random_pattern(n, 0.2, 0)
+    perm = native.minimum_degree(n, adj)
+    assert sorted(perm.tolist()) == list(range(n))
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_native_symbolic_matches_python():
+    for seed in range(5):
+        n = 25
+        _, lower = random_pattern(n, 0.15, seed)
+
+        native_out = native.symbolic_cholesky(n, lower)
+        assert native_out is not None
+        L_native, parent_native = native_out
+
+        # pure-python path (bypass native dispatch)
+        patterns = [set(c) for c in lower]
+        parent = np.full(n, -1, np.int64)
+        children = [[] for _ in range(n)]
+        for j in range(n):
+            pat = patterns[j]
+            for c in children[j]:
+                pat |= patterns[c] - {j}
+            patterns[j] = pat
+            if pat:
+                p = min(pat)
+                parent[j] = p
+                children[p].append(j)
+        L_py = [sorted(p) for p in patterns]
+
+        assert [list(c) for c in L_native] == L_py
+        assert np.array_equal(parent_native, parent)
+
+
+def test_symbolic_pattern_is_chordal_superset():
+    # the factor pattern must contain the original pattern
+    n = 20
+    _, lower = random_pattern(n, 0.2, 3)
+    L_cols, _ = pysym.symbolic_cholesky(n, lower)
+    for j in range(n):
+        assert set(lower[j]) <= set(L_cols[j])
