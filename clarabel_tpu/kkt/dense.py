@@ -92,6 +92,11 @@ def _raw_solve(factors, rhs):
     kind, data = factors
     if kind == "lu":
         return jsl.lu_solve(data, rhs)
+    if kind == "pldl":
+        from . import pallas_ldl
+
+        packed, N = data
+        return pallas_ldl.ldl_solve(packed, N, rhs)
     LH, LS, A, n = data
     b1, b2 = rhs[:n], rhs[n:]
     w = jsl.cho_solve((LH, True), b2)

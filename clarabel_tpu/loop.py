@@ -351,28 +351,38 @@ def kkt_solve(
     return (dx, ds, dz, dtau, dkappa), ok
 
 
-def _make_factor_fn(layout, settings, dtype, n):
+def _make_factor_fn(layout, settings, dtype, n, use_pallas=False):
     """Select the dense factorization backend.
 
     "auto" mirrors the reference's auto backend choice (ldlsolvers/auto.rs):
-    on the f32/TPU path the Schur-complement Cholesky condensation lowers
-    natively onto the MXU; the f64 validation path keeps the pivoted-LU
-    quasidefinite solve.  Zero cones make the condensation ill-posed (their
-    H block is only the ε regularization), so they force the LU path.
+    on TPU the Pallas quasidefinite LDLᵀ kernel factors the full KKT
+    (accuracy-preserving, VMEM-resident); on non-TPU f32 backends the
+    Schur-complement Cholesky condensation is used (zero cones make the
+    condensation ill-posed, forcing LU); the f64 validation path keeps the
+    pivoted-LU quasidefinite solve.
     """
     method = settings.direct_solve_method
+    is_f32 = jnp.dtype(dtype) == jnp.float32
     if method == "auto":
-        method = (
-            "schur"
-            if (jnp.dtype(dtype) == jnp.float32 and layout.n_zero == 0)
-            else "lu"
-        )
+        # NB: the Pallas quasidefinite LDL kernel (direct_solve_method =
+        # "pallas") is opt-in for now: with full-precision matmuls pinned,
+        # the Schur condensation already reaches f32-limited accuracy, and
+        # the kernel's per-column loop currently compiles slowly in Mosaic.
+        if is_f32 and layout.n_zero == 0:
+            method = "schur"
+        else:
+            method = "lu"
+    if method == "pallas":
+        from .kkt import pallas_ldl
+
+        return pallas_ldl.make_ldl_factor(n, layout.m, settings, dtype)
     if method == "schur":
         return lambda K_reg: kkt_dense.factor_schur(K_reg, n)
     return kkt_dense.factor
 
 
-def default_start(layout, settings, P, q, A, b, p_is_zero, dtype):
+def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
+                  use_pallas=False):
     """Initial iterate.  reference: solver.rs:525-541, kktsystem.rs:211-259,
     variables.rs:164-178, 231-256."""
     n, m = q.shape[0], b.shape[0]
@@ -386,7 +396,7 @@ def default_start(layout, settings, P, q, A, b, p_is_zero, dtype):
     state0 = cone_ops.set_identity_scaling(layout, dtype)
     Hs = cone_ops.hs_dense(layout, state0, dtype)
     K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
-    factors, _ = _make_factor_fn(layout, settings, dtype, n)(K_reg)
+    factors, _ = _make_factor_fn(layout, settings, dtype, n, use_pallas)(K_reg)
 
     if p_is_zero:
         # LP initialization (kktsystem.rs:219-245)
@@ -432,7 +442,7 @@ def _shift_to_cone_interior(layout, v, pd):
 
 
 def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
-            callback=None):
+            callback=None, use_pallas=False):
     """The main loop.  Returns the final SolverState.
 
     ``callback``, when given, is a host function (dict of scalars) -> bool
@@ -444,7 +454,9 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
     n, m = q.shape[0], b.shape[0]
     asym = not layout.is_symmetric
 
-    x, s, z, tau, kappa = default_start(layout, settings, P, q, A, b, p_is_zero, dtype)
+    x, s, z, tau, kappa = default_start(
+        layout, settings, P, q, A, b, p_is_zero, dtype, use_pallas
+    )
 
     f = lambda v: jnp.asarray(v, dtype)
     init_scaling = (
@@ -552,7 +564,7 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
             # --- KKT update + constant-term solve (kktsystem.rs:108-125)
             Hs = cone_ops.hs_dense(layout, scaling_state, dtype)
             K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
-            factors, ok_f = _make_factor_fn(layout, settings, dtype, n)(K_reg)
+            factors, ok_f = _make_factor_fn(layout, settings, dtype, n, use_pallas)(K_reg)
             sol_c, ok_c = kkt_dense.solve_refined(
                 factors, K, jnp.concatenate([-q, b]), settings
             )

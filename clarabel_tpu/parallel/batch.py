@@ -114,8 +114,12 @@ class BatchSolver:
                 jax.devices("cpu")[0] if self._dtype == "float64" else jax.devices()[0]
             )
 
+        target = mesh.devices.flat[0] if mesh is not None else device
+        use_pallas = _solver._is_tpu_platform(target)
+
         core = _solver.build_solve_core(
-            self._layout, self.settings, n, self._p_is_zero, self._dtype
+            self._layout, self.settings, n, self._p_is_zero, self._dtype,
+            use_pallas=use_pallas,
         )
         batched = jax.vmap(core)
 

@@ -123,7 +123,7 @@ def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
 
 def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
                      n: int, p_is_zero: bool, dtype_name: str,
-                     callback=None):
+                     callback=None, use_pallas: bool = False):
     """The un-jitted single-problem solve function (P, q, A, b) -> outputs.
 
     Pure and fixed-shape: suitable for jit, vmap (problem batches) and
@@ -134,7 +134,7 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
     # NumPy constant: embedded at trace time without touching any device
     triu_mask = np.triu(np.ones((n, n), dtype))
 
-    def solve_core(P, q, A, b):
+    def _solve_core_inner(P, q, A, b):
         # unscaled inf-norms of the linear terms, cached before
         # equilibration (problemdata.rs:147-148)
         normq = jnp.max(jnp.abs(q), initial=0.0)
@@ -148,7 +148,7 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
 
         st = run_ipm(
             layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
-            callback=callback,
+            callback=callback, use_pallas=use_pallas,
         )
 
         # ---- solution post-processing (solution.rs:68-111,
@@ -196,14 +196,30 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             "history": st.history,
         }
 
+    def solve_core(P, q, A, b):
+        # IPM residuals and refinement need true f32 accumulation; the
+        # TPU's default bf16 matmul passes destroy the achievable
+        # tolerances, so pin full precision for everything traced here.
+        with jax.default_matmul_precision("highest"):
+            return _solve_core_inner(P, q, A, b)
+
     return solve_core
 
 
 @functools.lru_cache(maxsize=64)
 def _build_solve_fn(layout: ConeLayout, settings: DefaultSettings,
-                    n: int, p_is_zero: bool, dtype_name: str):
+                    n: int, p_is_zero: bool, dtype_name: str,
+                    use_pallas: bool = False):
     """Compile-cached jitted solve function."""
-    return jax.jit(build_solve_core(layout, settings, n, p_is_zero, dtype_name))
+    return jax.jit(
+        build_solve_core(
+            layout, settings, n, p_is_zero, dtype_name, use_pallas=use_pallas
+        )
+    )
+
+
+def _is_tpu_platform(device) -> bool:
+    return getattr(device, "platform", "") in ("tpu", "axon")
 
 
 def _default_dtype() -> str:
@@ -323,10 +339,12 @@ class DefaultSolver:
             self._A = put(A)
             self._b = put(b)
 
+            self._use_pallas = _is_tpu_platform(device)
+
             with self.timers.scope("kktinit"):
                 self._solve_fn = _build_solve_fn(
                     self._layout, self.settings, self._n_int,
-                    self._p_is_zero, self._dtype,
+                    self._p_is_zero, self._dtype, self._use_pallas,
                 )
 
         self.info = DefaultInfo()
@@ -529,7 +547,7 @@ class DefaultSolver:
         if self._callback is None:
             self._solve_fn = _build_solve_fn(
                 self._layout, self.settings, self._n_int, self._p_is_zero,
-                self._dtype,
+                self._dtype, self._use_pallas,
             )
         else:
             self._solve_fn = jax.jit(
@@ -540,6 +558,7 @@ class DefaultSolver:
                     self._p_is_zero,
                     self._dtype,
                     callback=self._callback,
+                    use_pallas=self._use_pallas,
                 )
             )
 
