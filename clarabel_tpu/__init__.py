@@ -22,6 +22,7 @@ from .cones.api import (
     SecondOrderConeT,
     ZeroConeT,
 )
+from .buildinfo import buildinfo, print_buildinfo
 from .infbound import default_infinity, get_infinity, set_infinity
 from .parallel import BatchSolution, BatchSolver
 from .settings import DefaultSettings, SettingsError
@@ -49,5 +50,7 @@ __all__ = [
     "get_infinity",
     "set_infinity",
     "default_infinity",
+    "buildinfo",
+    "print_buildinfo",
     "__version__",
 ]

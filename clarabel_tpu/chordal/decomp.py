@@ -62,6 +62,7 @@ class ChordalInfo:
         self.init_cones = cones
         self.spatterns: List[SparsityPattern] = []
         self.H = None  # standard-transform matrix, set by decomp_augment
+        self.cone_maps = None  # compact-transform clique map
 
         merge_method = settings.chordal_decomposition_merge_method
 
@@ -89,19 +90,26 @@ class ChordalInfo:
         return bool(self.spatterns)
 
     # ------------------------------------------------------------------
-    # standard augmentation (augment_standard.rs)
+    # augmentation dispatch (decomp/mod.rs:20-39)
     # ------------------------------------------------------------------
 
     def decomp_augment(self, P, q, A, b, settings):
+        if settings.chordal_decomposition_compact:
+            return self._decomp_augment_compact(P, q, A, b)
+        return self._decomp_augment_standard(P, q, A, b)
+
+    # ------------------------------------------------------------------
+    # standard augmentation (augment_standard.rs)
+    # ------------------------------------------------------------------
+
+    def _decomp_augment_standard(self, P, q, A, b):
         """Rewrite (P, q, A, b, cones) with clique cones.
 
         Standard transform:  A_new = [[A, H], [0, -I]],  b_new = [b; 0],
         with the first m rows becoming equality constraints and each clique
         contributing a small PSD cone on the added variables.
         """
-        # (the compact transform arrives with the sparse KKT path; the
-        # standard transform is used for either setting and produces
-        # identical solutions after reversal)
+        self.cone_maps = None
         H, cones_new = self._find_standard_H_and_cones()
         nH = H.shape[1]
         n, m = A.shape[1], A.shape[0]
@@ -152,25 +160,172 @@ class ChordalInfo:
         return H, cones_new
 
     # ------------------------------------------------------------------
-    # reversal (reverse_standard.rs) + completion (psd_completion.rs)
+    # compact (clique-tree) augmentation (augment_compact.rs; Kim et al.
+    # 2011 transform).  In the dense setting the CSC row-index surgery of
+    # the reference reduces to direct row gathers: each clique block row
+    # either copies the original constraint row for its (i, j) entry, or
+    # introduces a fresh overlap variable u with a +1 in the clique row
+    # and a -1 in the parent clique's matching row.
+    # ------------------------------------------------------------------
+
+    def _decomp_augment_compact(self, P, q, A, b):
+        n0, m0 = self.init_dims
+        dim_new, n_overlaps = self._decomposed_dim_and_overlaps()
+
+        A_new = np.zeros((dim_new, n0 + n_overlaps))
+        b_new = np.zeros(dim_new)
+        cones_new: List[ConeSpec] = []
+        cone_maps: List[tuple] = []
+
+        patterns = list(self.spatterns)
+        pat_idx = 0
+        row_ptr = 0  # into the new rows
+        ucol = n0  # next overlap-variable column
+        row = 0  # into the original rows
+
+        for coneidx, cone in enumerate(self.init_cones):
+            if pat_idx < len(patterns) and patterns[pat_idx].orig_index == coneidx:
+                sp = patterns[pat_idx]
+                t = sp.sntree
+
+                # clique row starts, cliques emitted in descending
+                # topological order (clique_rows_map, augment_compact.rs)
+                clique_start = {}
+                rp = row_ptr
+                for i in range(t.n_cliques - 1, -1, -1):
+                    clique_start[t.snode_post[i]] = rp
+                    rp += _tri(t.get_nblk(i))
+
+                for i in range(t.n_cliques - 1, -1, -1):
+                    snode_g = sorted(sp.ordering[v] for v in t.get_snode(i))
+                    sep_g = sorted(sp.ordering[v] for v in t.get_separators(i))
+                    blocks = _block_indices(snode_g, sep_g)
+
+                    if i < t.n_cliques - 1:
+                        p_raw = t.snode_parent[t.snode_post[i]]
+                        parent_start = clique_start[p_raw]
+                        parent_clique = sorted(
+                            sp.ordering[v]
+                            for v in (t.snode[p_raw] | t.separators[p_raw])
+                        )
+
+                    for counter, (gi, gj, is_overlap) in enumerate(blocks):
+                        nr = row_ptr + counter
+                        if is_overlap:
+                            # +1 here, -1 in the parent's matching entry
+                            A_new[nr, ucol] = 1.0
+                            ir = parent_clique.index(gi)
+                            jr = parent_clique.index(gj)
+                            A_new[parent_start + _tri_index(ir, jr), ucol] = -1.0
+                            ucol += 1
+                        else:
+                            k = _tri_index(gi, gj)
+                            A_new[nr, :n0] = A[row + k, :]
+                            b_new[nr] = b[row + k]
+
+                    nblk = t.get_nblk(i)
+                    cones_new.append(api.PSDTriangleConeT(nblk))
+                    cone_maps.append((coneidx, (pat_idx, i)))
+                    row_ptr += _tri(nblk)
+                pat_idx += 1
+            else:
+                w = cone.nvars
+                A_new[row_ptr : row_ptr + w, :n0] = A[row : row + w, :]
+                b_new[row_ptr : row_ptr + w] = b[row : row + w]
+                cones_new.append(cone)
+                cone_maps.append((coneidx, None))
+                row_ptr += w
+            row += cone.nvars
+
+        nadd = n_overlaps
+        P_new = np.zeros((n0 + nadd, n0 + nadd))
+        P_new[:n0, :n0] = P
+        q_new = np.concatenate([q, np.zeros(nadd)])
+
+        self.H = None
+        self.cone_maps = cone_maps
+        return P_new, q_new, A_new, b_new, tuple(cones_new)
+
+    def _decomposed_dim_and_overlaps(self):
+        """Total rows and overlap count of the compact form
+        (chordal_info.rs:199-221)."""
+        dim = 0
+        overlaps = 0
+        patterns = list(self.spatterns)
+        pat_idx = 0
+        for coneidx, cone in enumerate(self.init_cones):
+            if pat_idx < len(patterns) and patterns[pat_idx].orig_index == coneidx:
+                d, o = patterns[pat_idx].sntree.get_decomposed_dim_and_overlaps()
+                dim += d
+                overlaps += o
+                pat_idx += 1
+            else:
+                dim += cone.nvars
+        return dim, overlaps
+
+    # ------------------------------------------------------------------
+    # reversal (reverse_standard.rs / reverse_compact.rs)
+    # + completion (psd_completion.rs)
     # ------------------------------------------------------------------
 
     def decomp_reverse(self, x, z, s, settings):
         """Map the decomposed solution back to the original cones."""
         n, m = self.init_dims
         x_new = x[:n]
-        s_new = self.H @ s[m:]
-        z_new = self.H @ z[m:]
 
-        # average the overlapping dual entries (reverse_standard.rs:30-39)
-        noverlaps = self.H.sum(axis=1)
-        mask = noverlaps > 1
-        z_new[mask] /= noverlaps[mask]
+        if self.cone_maps is not None:
+            z_new, s_new = self._reverse_compact(z, s)
+        else:
+            s_new = self.H @ s[m:]
+            z_new = self.H @ z[m:]
+
+            # average the overlapping dual entries (reverse_standard.rs:30-39)
+            noverlaps = self.H.sum(axis=1)
+            mask = noverlaps > 1
+            z_new[mask] /= noverlaps[mask]
 
         if settings.chordal_decomposition_complete_dual:
             self._psd_completion(z_new)
 
         return x_new, z_new, s_new
+
+    def _reverse_compact(self, z, s):
+        """reference: reverse_compact.rs — s sums over overlapping clique
+        entries; z overwrites them."""
+        _, m0 = self.init_dims
+        new_s = np.zeros(m0)
+        new_z = np.zeros(m0)
+
+        ranges = []
+        row = 0
+        for cone in self.init_cones:
+            ranges.append(row)
+            row += cone.nvars
+
+        row_ptr = 0
+        for (orig_index, tc) in self.cone_maps:
+            lo = ranges[orig_index]
+            if tc is None:
+                w = self.init_cones[orig_index].nvars
+                new_s[lo : lo + w] = s[row_ptr : row_ptr + w]
+                new_z[lo : lo + w] = z[row_ptr : row_ptr + w]
+                row_ptr += w
+            else:
+                t_idx, clique_index = tc
+                sp = self.spatterns[t_idx]
+                clique = sorted(
+                    sp.ordering[v] for v in sp.sntree.get_clique(clique_index)
+                )
+                counter = 0
+                for j in clique:
+                    for i in clique:
+                        if i <= j:
+                            off = _tri_index(i, j)
+                            new_s[lo + off] += s[row_ptr + counter]
+                            new_z[lo + off] = z[row_ptr + counter]
+                            counter += 1
+                row_ptr += _tri(len(clique))
+        return new_z, new_s
 
     def _psd_completion(self, z: np.ndarray) -> None:
         """PSD completion of the dual variable (Vandenberghe's chordal-graph
@@ -187,6 +342,29 @@ class ChordalInfo:
             Z = _svec_to_mat(zi)
             _psd_complete(Z, sp)
             z[lo:hi] = _mat_to_svec(Z)
+
+
+def _block_indices(snode, separator):
+    """All (i, j, is_overlap) entries of a clique block, in the block's
+    svec order (sorted by global column-major coordinate).
+
+    reference: augment_compact.rs:get_block_indices — separator x separator
+    entries are overlaps; everything else copies original data.
+    """
+    out = []
+    for j in separator:
+        for i in separator:
+            if i <= j:
+                out.append((i, j, True))
+    for j in snode:
+        for i in snode:
+            if i <= j:
+                out.append((i, j, False))
+    for i in snode:
+        for j in separator:
+            out.append((min(i, j), max(i, j), False))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out
 
 
 def _svec_to_mat(x: np.ndarray) -> np.ndarray:
