@@ -88,6 +88,21 @@ def factor_schur(K_reg, n):
     return ("schur", (LH, LS, A, n)), ok
 
 
+def factor_schur_diag(K_reg, n):
+    """Schur factorization specialized to diagonal H (pure nonnegative-cone
+    layouts): H⁻¹ is an elementwise reciprocal, S builds with one weighted
+    Gram matmul, and solves need no [m, m] triangular solves at all —
+    the MXU-optimal path for the batched box-QP workload."""
+    Pt = K_reg[:n, :n]
+    A = K_reg[n:, :n]
+    h = -jnp.diagonal(K_reg)[n:]  # = diag(Hs) + ε > 0
+    hinv = 1.0 / h
+    S = Pt + A.T @ (hinv[:, None] * A)
+    LS = jnp.linalg.cholesky(S)
+    ok = jnp.all(jnp.isfinite(LS)) & jnp.all(h > 0)
+    return ("schur_diag", (hinv, LS, A, n)), ok
+
+
 def _raw_solve(factors, rhs):
     kind, data = factors
     if kind == "lu":
@@ -97,6 +112,12 @@ def _raw_solve(factors, rhs):
 
         packed, N = data
         return pallas_ldl.ldl_solve(packed, N, rhs)
+    if kind == "schur_diag":
+        hinv, LS, A, n = data
+        b1, b2 = rhs[:n], rhs[n:]
+        x1 = jsl.cho_solve((LS, True), b1 + A.T @ (hinv * b2))
+        x2 = hinv * (A @ x1 - b2)
+        return jnp.concatenate([x1, x2])
     LH, LS, A, n = data
     b1, b2 = rhs[:n], rhs[n:]
     w = jsl.cho_solve((LH, True), b2)

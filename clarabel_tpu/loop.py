@@ -365,13 +365,25 @@ def _make_factor_fn(layout, settings, dtype, n, use_pallas=False):
     is_f32 = jnp.dtype(dtype) == jnp.float32
     if method == "auto":
         # NB: the Pallas quasidefinite LDL kernel (direct_solve_method =
-        # "pallas") is opt-in for now: with full-precision matmuls pinned,
-        # the Schur condensation already reaches f32-limited accuracy, and
-        # the kernel's per-column loop currently compiles slowly in Mosaic.
-        if is_f32 and layout.n_zero == 0:
-            method = "schur"
-        else:
-            method = "lu"
+        # "pallas") is opt-in for now pending Mosaic compile-time work.
+        #
+        # The Schur condensation requires a well-conditioned H = Hs + εI:
+        # that holds only for diagonal-Hs layouts (pure nonnegative cones,
+        # the high-throughput batch-QP class).  Zero cones give H ≈ εI and
+        # SOC/exp/pow/PSD blocks grow ill-conditioned as μ → 0, so those
+        # layouts keep the full quasidefinite (LU) factorization — matching
+        # the reference's LDL-on-the-full-KKT approach.
+        only_nn = (
+            layout.n_zero == 0
+            and layout.m_soc == 0
+            and layout.num_exp == 0
+            and layout.num_pow == 0
+            and layout.num_genpow == 0
+            and layout.num_psd == 0
+        )
+        method = "schur_diag" if (is_f32 and only_nn) else "lu"
+    if method == "schur_diag":
+        return lambda K_reg: kkt_dense.factor_schur_diag(K_reg, n)
     if method == "pallas":
         from .kkt import pallas_ldl
 

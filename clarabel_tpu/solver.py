@@ -683,3 +683,9 @@ class DefaultSolver:
 
     def print_timers(self):  # pragma: no cover - cosmetic
         self.timers.print_tree()
+
+    def profile(self, log_dir: str):
+        """Context manager tracing the next solve(s) with ``jax.profiler``
+        (device-level timeline; the TPU counterpart of the reference's
+        hierarchical timers, SURVEY §5.1)."""
+        return jax.profiler.trace(log_dir)
