@@ -103,6 +103,39 @@ def factor_schur_diag(K_reg, n):
     return ("schur_diag", (hinv, LS, A, n)), ok
 
 
+def prepare_schur_diag(P, A, hs_diag, settings):
+    """Fully structured diagonal-H KKT preparation: the KKT matrix is never
+    materialized.  Returns (factors, matvec, ok) where ``matvec`` applies
+    the *unregularized* K for iterative refinement.
+    """
+    n = P.shape[0]
+    if settings.static_regularization_enable:
+        maxdiag = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(P)), initial=0.0),
+            jnp.max(hs_diag, initial=0.0),
+        )
+        eps = (
+            settings.static_regularization_constant
+            + settings.static_regularization_proportional * maxdiag
+        )
+    else:
+        eps = 0.0
+
+    h = hs_diag + eps
+    hinv = 1.0 / h
+    S = P + eps * jnp.eye(n, dtype=P.dtype) + A.T @ (hinv[:, None] * A)
+    LS = jnp.linalg.cholesky(S)
+    ok = jnp.all(jnp.isfinite(LS)) & jnp.all(h > 0)
+
+    def matvec(v):
+        v1, v2 = v[:n], v[n:]
+        return jnp.concatenate(
+            [P @ v1 + A.T @ v2, A @ v1 - hs_diag * v2]
+        )
+
+    return ("schur_diag", (hinv, LS, A, n)), matvec, ok
+
+
 def _raw_solve(factors, rhs):
     kind, data = factors
     if kind == "lu":
@@ -130,8 +163,9 @@ def solve_refined(factors, K_true, rhs, settings):
     """Solve K x = rhs with iterative refinement against the true
     (unregularized) KKT matrix.
 
-    Returns (x, ok).  reference: directldlkktsolver.rs:266-321 — bounded
-    refinement loop with stall detection, expressed as ``lax.while_loop``.
+    ``K_true`` may be a dense matrix or a matvec callable (structured
+    paths).  Returns (x, ok).  reference: directldlkktsolver.rs:266-321 —
+    bounded refinement loop with stall detection as ``lax.while_loop``.
     """
     x0 = _raw_solve(factors, rhs)
 
@@ -144,9 +178,10 @@ def solve_refined(factors, K_true, rhs, settings):
     stopratio = settings.iterative_refinement_stop_ratio
 
     normb = jnp.max(jnp.abs(rhs))
+    k_matvec = K_true if callable(K_true) else (lambda v: K_true @ v)
 
     def error_norm(x):
-        e = rhs - K_true @ x
+        e = rhs - k_matvec(x)
         return e, jnp.max(jnp.abs(e))
 
     e0, norme0 = error_norm(x0)

@@ -27,6 +27,20 @@ from .statuses import SolverStatus, SCALING_DUAL, SCALING_PRIMAL_DUAL
 _UNSOLVED = int(SolverStatus.Unsolved)
 
 
+def _clock():
+    """Host wall-clock read as an ordered callback (for time limits)."""
+    import time as _time
+
+    import numpy as _np
+    from jax.experimental import io_callback
+
+    return io_callback(
+        lambda: _np.float32(_time.monotonic()),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        ordered=True,
+    )
+
+
 class SolverState(NamedTuple):
     # variables (x, s, z, τ, κ) and the saved previous iterate
     x: jax.Array
@@ -351,28 +365,11 @@ def kkt_solve(
     return (dx, ds, dz, dtau, dkappa), ok
 
 
-def _make_factor_fn(layout, settings, dtype, n, use_pallas=False):
-    """Select the dense factorization backend.
-
-    "auto" mirrors the reference's auto backend choice (ldlsolvers/auto.rs):
-    on TPU the Pallas quasidefinite LDLᵀ kernel factors the full KKT
-    (accuracy-preserving, VMEM-resident); on non-TPU f32 backends the
-    Schur-complement Cholesky condensation is used (zero cones make the
-    condensation ill-posed, forcing LU); the f64 validation path keeps the
-    pivoted-LU quasidefinite solve.
-    """
+def _resolved_kkt_method(layout, settings, dtype, use_pallas=False):
+    """Resolve the KKT backend name from settings + problem structure."""
     method = settings.direct_solve_method
     is_f32 = jnp.dtype(dtype) == jnp.float32
     if method == "auto":
-        # NB: the Pallas quasidefinite LDL kernel (direct_solve_method =
-        # "pallas") is opt-in for now pending Mosaic compile-time work.
-        #
-        # The Schur condensation requires a well-conditioned H = Hs + εI:
-        # that holds only for diagonal-Hs layouts (pure nonnegative cones,
-        # the high-throughput batch-QP class).  Zero cones give H ≈ εI and
-        # SOC/exp/pow/PSD blocks grow ill-conditioned as μ → 0, so those
-        # layouts keep the full quasidefinite (LU) factorization — matching
-        # the reference's LDL-on-the-full-KKT approach.
         only_nn = (
             layout.n_zero == 0
             and layout.m_soc == 0
@@ -382,6 +379,51 @@ def _make_factor_fn(layout, settings, dtype, n, use_pallas=False):
             and layout.num_psd == 0
         )
         method = "schur_diag" if (is_f32 and only_nn) else "lu"
+    return method
+
+
+def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state):
+    """Build KKT factors for the current scaling state.
+
+    Returns (factors, K_true, ok) where K_true is a dense matrix or matvec
+    closure for iterative refinement.  The structured diagonal-Schur path
+    never materializes the KKT matrix at all.
+    """
+    method = _resolved_kkt_method(layout, settings, dtype, use_pallas)
+
+    # NB: a fully structured (assembly-free) variant exists in
+    # kkt_dense.prepare_schur_diag, but XLA TPU currently compiles the
+    # closure-matvec refinement loop pathologically slowly; the assembled
+    # diagonal-Schur factorization is equally fast at runtime.
+    Hs = cone_ops.hs_dense(layout, scaling_state, dtype)
+    K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
+    factors, ok = _make_factor_fn(layout, settings, dtype, n, use_pallas, method)(
+        K_reg
+    )
+    return factors, K, ok
+
+
+def _make_factor_fn(layout, settings, dtype, n, use_pallas=False, method=None):
+    """Select the dense factorization backend.
+
+    "auto" mirrors the reference's auto backend choice (ldlsolvers/auto.rs):
+    on TPU the Pallas quasidefinite LDLᵀ kernel factors the full KKT
+    (accuracy-preserving, VMEM-resident); on non-TPU f32 backends the
+    Schur-complement Cholesky condensation is used (zero cones make the
+    condensation ill-posed, forcing LU); the f64 validation path keeps the
+    pivoted-LU quasidefinite solve.
+    """
+    # NB: the Pallas quasidefinite LDL kernel (direct_solve_method =
+    # "pallas") is opt-in for now pending Mosaic compile-time work.
+    #
+    # The Schur condensation requires a well-conditioned H = Hs + εI:
+    # that holds only for diagonal-Hs layouts (pure nonnegative cones,
+    # the high-throughput batch-QP class).  Zero cones give H ≈ εI and
+    # SOC/exp/pow/PSD blocks grow ill-conditioned as μ → 0, so those
+    # layouts keep the full quasidefinite (LU) factorization — matching
+    # the reference's LDL-on-the-full-KKT approach.
+    if method is None:
+        method = _resolved_kkt_method(layout, settings, dtype, use_pallas)
     if method == "schur_diag":
         return lambda K_reg: kkt_dense.factor_schur_diag(K_reg, n)
     if method == "pallas":
@@ -406,9 +448,9 @@ def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
 
     # symmetric: solve the KKT system with identity scalings
     state0 = cone_ops.set_identity_scaling(layout, dtype)
-    Hs = cone_ops.hs_dense(layout, state0, dtype)
-    K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
-    factors, _ = _make_factor_fn(layout, settings, dtype, n, use_pallas)(K_reg)
+    factors, K, _ = _kkt_prepare(
+        layout, settings, dtype, n, use_pallas, P, A, state0
+    )
 
     if p_is_zero:
         # LP initialization (kktsystem.rs:219-245)
@@ -476,6 +518,10 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
         if layout.allows_primal_dual_scaling
         else SCALING_DUAL
     )
+    time_start = (
+        _clock() if settings.time_limit != float("inf") else None
+    )
+
     st = SolverState(
         x=x, s=s, z=z, tau=tau, kappa=kappa,
         px=x, ps=s, pz=z, ptau=tau, pkappa=kappa,
@@ -513,6 +559,15 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
         st = st._replace(history=st.history.at[st.iterations].set(row))
 
         status = check_termination(st, settings, dtype)
+
+        # wall-clock time limit (info.rs:224-226).  Only traced when a
+        # finite limit is configured; the clock read is a host callback.
+        if settings.time_limit != float("inf"):
+            now = _clock()
+            over = (now - time_start) > settings.time_limit
+            status = jnp.where(
+                (status == _UNSOLVED) & over, int(SolverStatus.MaxTime), status
+            ).astype(jnp.int32)
 
         # user termination callback (checked before internal statuses win;
         # solver.rs:310-314)
@@ -574,9 +629,9 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
             )
 
             # --- KKT update + constant-term solve (kktsystem.rs:108-125)
-            Hs = cone_ops.hs_dense(layout, scaling_state, dtype)
-            K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
-            factors, ok_f = _make_factor_fn(layout, settings, dtype, n, use_pallas)(K_reg)
+            factors, K, ok_f = _kkt_prepare(
+                layout, settings, dtype, n, use_pallas, P, A, scaling_state
+            )
             sol_c, ok_c = kkt_dense.solve_refined(
                 factors, K, jnp.concatenate([-q, b]), settings
             )

@@ -148,3 +148,25 @@ def test_dimension_checks():
         ct.DefaultSolver(P, q, A, np.ones(2), cones)
     with pytest.raises(ValueError):
         ct.DefaultSolver(P, q, A, b, [ct.NonnegativeConeT(2)])
+
+
+def test_time_limit():
+    # a poorly scaled problem with an instant limit stops with MaxTime
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    A1 = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    A = np.vstack([-A1, A1])
+    A[0, 0] = 1e15
+    q = np.array([1.0, 1.0])
+    b = np.array([-1.0, 0.0, 0.0, 1.0, 0.7, 0.7])
+    cones = [ct.NonnegativeConeT(6)]
+    solver = ct.DefaultSolver(
+        P, q, A, b, cones, ct.DefaultSettings(verbose=False, time_limit=1e-6)
+    )
+    assert solver.solve().status == ct.SolverStatus.MaxTime
+
+    # generous limit does not interfere
+    solver2 = ct.DefaultSolver(
+        np.eye(1), [0.0], np.eye(1), [1.0], [ct.NonnegativeConeT(1)],
+        ct.DefaultSettings(verbose=False, time_limit=60.0),
+    )
+    assert solver2.solve().status == ct.SolverStatus.Solved
