@@ -33,6 +33,44 @@ def _pad_to(n: int, multiple: int = 128) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
 
+def _ldl_kernel_call_unrolled(K_pad, dsigns_np, *, eps, delta, n_total,
+                              interpret=False):
+    """Fully static variant: the column loop is unrolled at trace time, so
+    the kernel contains no dynamic indexing at all (static row slices and
+    numpy-constant masks) — the Mosaic-friendly form.
+
+    ``dsigns_np`` is a NumPy constant captured at trace time.
+    """
+    Np = K_pad.shape[-1]
+
+    def kernel(K_ref, out_ref):
+        out_ref[:] = K_ref[:]
+        # masks built inside the kernel (captured array constants are
+        # not allowed in pallas kernels)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+        for j in range(n_total):
+            row = out_ref[j, :].reshape(1, Np)
+            d = row[0, j]
+            sign = float(dsigns_np[0, j])
+            d = jnp.where(d * sign < eps, delta * sign, d)
+
+            rowv = jnp.where(col_ids > j, row, 0.0)      # [1, Np]
+            colv = rowv.reshape(Np, 1) / d               # [Np, 1] (masked)
+
+            out_ref[:] = out_ref[:] - colv * rowv
+            packed_row = jnp.where(col_ids == j, d, rowv / d)
+            out_ref[j, :] = packed_row.reshape(Np)
+        # zero any padding rows beyond n_total are left as identity
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, Np), K_pad.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(K_pad)
+
+
 @functools.partial(
     jax.jit, static_argnames=("eps", "delta", "n_total", "interpret")
 )
@@ -83,7 +121,8 @@ def _ldl_kernel_call(K_pad, dsigns_pad, eps, delta, n_total, interpret=False):
     )(K_pad, dsigns_pad)
 
 
-def make_ldl_factor(n: int, m: int, settings, dtype, interpret: bool = False):
+def make_ldl_factor(n: int, m: int, settings, dtype, interpret: bool = False,
+                    variant: str = "unrolled"):
     """Build the factor function for (n + m)-dimensional KKT matrices.
 
     Returns ``factor(K_reg) -> (("pldl", packed), ok)`` with packed factors
@@ -107,10 +146,16 @@ def make_ldl_factor(n: int, m: int, settings, dtype, interpret: bool = False):
         K_pad = jnp.zeros((Np, Np), K_reg.dtype)
         K_pad = K_pad.at[:N, :N].set(K_reg)
         K_pad = K_pad.at[jnp.arange(N, Np), jnp.arange(N, Np)].set(1.0)
-        packed = _ldl_kernel_call(
-            K_pad, dsigns_pad, eps=float(eps), delta=float(delta),
-            n_total=N, interpret=interpret,
-        )
+        if variant == "unrolled":
+            packed = _ldl_kernel_call_unrolled(
+                K_pad, dsigns, eps=float(eps), delta=float(delta),
+                n_total=N, interpret=interpret,
+            )
+        else:
+            packed = _ldl_kernel_call(
+                K_pad, dsigns_pad, eps=float(eps), delta=float(delta),
+                n_total=N, interpret=interpret,
+            )
         ok = jnp.all(jnp.isfinite(packed))
         return ("pldl", (packed, N)), ok
 

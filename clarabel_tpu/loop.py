@@ -365,7 +365,7 @@ def kkt_solve(
     return (dx, ds, dz, dtau, dkappa), ok
 
 
-def _resolved_kkt_method(layout, settings, dtype, use_pallas=False):
+def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
     """Resolve the KKT backend name from settings + problem structure."""
     method = settings.direct_solve_method
     is_f32 = jnp.dtype(dtype) == jnp.float32
@@ -378,7 +378,17 @@ def _resolved_kkt_method(layout, settings, dtype, use_pallas=False):
             and layout.num_genpow == 0
             and layout.num_psd == 0
         )
-        method = "schur_diag" if (is_f32 and only_nn) else "lu"
+        if is_f32 and only_nn:
+            # diagonal Hs: condensation is exact-conditioned and cheapest
+            method = "schur_diag"
+        else:
+            # general cone layouts: full quasidefinite LU.  The Pallas
+            # LDL kernel (direct_solve_method="pallas") runs correctly and
+            # fast standalone (~46μs per 96² factor+solve under vmap), but
+            # its unrolled jaxpr currently makes XLA compile the enclosing
+            # while-loop program pathologically slowly — opt-in until the
+            # embedding cost is fixed (round-2 item).
+            method = "lu"
     return method
 
 
@@ -389,7 +399,7 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state):
     closure for iterative refinement.  The structured diagonal-Schur path
     never materializes the KKT matrix at all.
     """
-    method = _resolved_kkt_method(layout, settings, dtype, use_pallas)
+    method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
 
     # NB: a fully structured (assembly-free) variant exists in
     # kkt_dense.prepare_schur_diag, but XLA TPU currently compiles the
@@ -423,13 +433,13 @@ def _make_factor_fn(layout, settings, dtype, n, use_pallas=False, method=None):
     # layouts keep the full quasidefinite (LU) factorization — matching
     # the reference's LDL-on-the-full-KKT approach.
     if method is None:
-        method = _resolved_kkt_method(layout, settings, dtype, use_pallas)
+        method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
     if method == "schur_diag":
         return lambda K_reg: kkt_dense.factor_schur_diag(K_reg, n)
     if method == "pallas":
         from .kkt import pallas_ldl
 
-        return pallas_ldl.make_ldl_factor(n, layout.m, settings, dtype)
+        return pallas_ldl.make_ldl_factor(n, layout.m, settings, dtype)  # unrolled variant
     if method == "schur":
         return lambda K_reg: kkt_dense.factor_schur(K_reg, n)
     return kkt_dense.factor
