@@ -24,7 +24,7 @@ from .cones.api import (
 )
 from .buildinfo import buildinfo, print_buildinfo
 from .infbound import default_infinity, get_infinity, set_infinity
-from .parallel import BatchSolution, BatchSolver
+from .parallel import BatchSolution, BatchSolver, ShardedRowSolver
 from .settings import DefaultSettings, SettingsError
 from .solver import DefaultInfo, DefaultSolution, DefaultSolver
 from .statuses import SolverStatus
@@ -35,6 +35,7 @@ __all__ = [
     "DefaultSolver",
     "BatchSolver",
     "BatchSolution",
+    "ShardedRowSolver",
     "DefaultSettings",
     "DefaultSolution",
     "DefaultInfo",

@@ -1,3 +1,4 @@
 from .batch import BatchSolver, BatchSolution
+from .sharded import ShardedRowSolver
 
-__all__ = ["BatchSolver", "BatchSolution"]
+__all__ = ["BatchSolver", "BatchSolution", "ShardedRowSolver"]

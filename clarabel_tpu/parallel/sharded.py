@@ -1,0 +1,126 @@
+"""Intra-problem model parallelism: one large conic program sharded over a
+device mesh.
+
+The constraint dimension m (rows of A, entries of b/s/z) is sharded over a
+mesh axis while the variable dimension stays replicated.  Because the whole
+solve is already one pure jitted computation over fixed-shape arrays, the
+partitioning is expressed entirely through ``jax.sharding`` annotations on
+the inputs: XLA's SPMD partitioner propagates the shardings through the IPM
+loop and inserts the collectives (psum for the AᵀH⁻¹A Gram reduction and
+the residual norms, all-gathers where the KKT factorization needs
+replication) over ICI.
+
+This is the first-class "Schur-complement partitioned KKT" axis of the TPU
+design (SURVEY.md §2.9 / BASELINE.md): the Gram-matrix reduction
+S = P̃ + Σ_k A_kᵀ H_k⁻¹ A_k is exactly the partitioned computation, with
+the small [n, n] factorization replicated.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from .. import solver as _solver
+from ..cones import api
+from ..cones.layout import ConeLayout
+from ..infbound import get_infinity
+from ..settings import DefaultSettings
+from ..statuses import SolverStatus
+
+
+class ShardedRowSolver:
+    """Solve ONE conic program with the constraint rows sharded over a
+    1-D mesh axis.
+
+    Best suited to tall problems (m >> n) with row-decomposable cones
+    (zero / nonnegative; SOC and 3-D cone groups are kept replicated by
+    XLA automatically if present).  The row permutation and presolve run
+    on the host exactly as in :class:`~clarabel_tpu.DefaultSolver`.
+    """
+
+    def __init__(
+        self,
+        P,
+        q,
+        A,
+        b,
+        cones: Sequence[api.ConeSpec],
+        settings: Optional[DefaultSettings] = None,
+        mesh: Optional[Mesh] = None,
+        dtype: str = "float32",
+    ):
+        if mesh is None or len(mesh.axis_names) != 1:
+            raise ValueError("ShardedRowSolver requires a 1-D mesh")
+        self.settings = settings if settings is not None else DefaultSettings()
+        self.settings.validate()
+        self._mesh = mesh
+        axis = mesh.axis_names[0]
+
+        q = np.asarray(q, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        P, _ = _solver._to_dense(P, "P")
+        A, _ = _solver._to_dense(A, "A")
+        P = _solver._symmetrize_triu(P)
+
+        cones_int = api.collapse_cones(tuple(cones))
+        b = np.minimum(b, get_infinity())
+        self._layout = ConeLayout(cones_int)
+        perm = self._layout.perm
+        A = A[perm, :]
+        b = b[perm]
+
+        n, m = q.shape[0], b.shape[0]
+        self.n, self.m = n, m
+        ndev = mesh.devices.size
+        if m % ndev != 0:
+            raise ValueError(
+                f"constraint dimension {m} must divide the mesh size {ndev} "
+                "(pad with free rows or adjust the mesh)"
+            )
+
+        core = _solver.build_solve_core(
+            self._layout, self.settings, n, not np.any(P), dtype
+        )
+
+        row = NamedSharding(mesh, PSpec(axis))
+        row2d = NamedSharding(mesh, PSpec(axis, None))
+        rep = NamedSharding(mesh, PSpec())
+        rep2d = NamedSharding(mesh, PSpec(None, None))
+
+        self._solve_fn = jax.jit(
+            core, in_shardings=(rep2d, rep, row2d, row)
+        )
+        self._P = jax.device_put(np.asarray(P, dtype), rep2d)
+        self._q = jax.device_put(np.asarray(q, dtype), rep)
+        self._A = jax.device_put(np.asarray(A, dtype), row2d)
+        self._b = jax.device_put(np.asarray(b, dtype), row)
+
+    def solve(self):
+        t0 = time.perf_counter()
+        out = self._solve_fn(self._P, self._q, self._A, self._b)
+        out = jax.tree.map(np.asarray, jax.device_get(out))
+        solve_time = time.perf_counter() - t0
+
+        z = np.empty(self.m, np.float64)
+        s = np.empty(self.m, np.float64)
+        z[self._layout.perm] = out["z"]
+        s[self._layout.perm] = out["s"]
+
+        return _solver.DefaultSolution(
+            x=np.asarray(out["x"], np.float64),
+            z=z,
+            s=s,
+            status=SolverStatus(int(out["status"])),
+            obj_val=float(out["obj_val"]),
+            obj_val_dual=float(out["obj_val_dual"]),
+            solve_time=solve_time,
+            iterations=int(out["iterations"]),
+            r_prim=float(out["r_prim"]),
+            r_dual=float(out["r_dual"]),
+        )
