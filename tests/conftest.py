@@ -17,3 +17,7 @@ if "--xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Route all eager/default computation to the host CPU: the accelerator in
+# this environment sits behind a remote tunnel and would turn each eager op
+# into a network round trip.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
