@@ -506,21 +506,34 @@ def _shift_to_cone_interior(layout, v, pd):
 
 
 def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
-            callback=None, use_pallas=False):
+            callback=None, use_pallas=False, warm_start=None):
     """The main loop.  Returns the final SolverState.
 
     ``callback``, when given, is a host function (dict of scalars) -> bool
     invoked once per iteration; returning True terminates the solve with
     CallbackTerminated (reference: callbacks.rs:93-96, solver.rs:311-314).
 
+    ``warm_start``, when given, is an (x0, s0, z0) triple in the internal
+    (equilibrated, permuted) frame used as the initial iterate, after
+    shifting (s0, z0) strictly into the cone interior.  The reference
+    always cold starts (SURVEY §5.4); this is an extra capability for
+    MPC/SQP re-solve loops.
+
     reference: solver.rs:242-465
     """
     n, m = q.shape[0], b.shape[0]
     asym = not layout.is_symmetric
 
-    x, s, z, tau, kappa = default_start(
-        layout, settings, P, q, A, b, p_is_zero, dtype, use_pallas
-    )
+    if warm_start is not None:
+        x = warm_start[0]
+        s = _shift_to_cone_interior(layout, warm_start[1], cone_ops.PRIMAL)
+        z = _shift_to_cone_interior(layout, warm_start[2], cone_ops.DUAL)
+        tau = jnp.asarray(1.0, dtype)
+        kappa = jnp.asarray(1.0, dtype)
+    else:
+        x, s, z, tau, kappa = default_start(
+            layout, settings, P, q, A, b, p_is_zero, dtype, use_pallas
+        )
 
     f = lambda v: jnp.asarray(v, dtype)
     init_scaling = (

@@ -123,18 +123,21 @@ def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
 
 def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
                      n: int, p_is_zero: bool, dtype_name: str,
-                     callback=None, use_pallas: bool = False):
+                     callback=None, use_pallas: bool = False,
+                     warm: bool = False):
     """The un-jitted single-problem solve function (P, q, A, b) -> outputs.
 
     Pure and fixed-shape: suitable for jit, vmap (problem batches) and
     shard_map (device meshes).  ``callback`` (host fn dict->bool) enables
     per-iteration termination callbacks on the single-problem path.
+    With ``warm=True`` the function takes an additional (x0, s0, z0)
+    initial iterate in the user frame.
     """
     dtype = jnp.dtype(dtype_name)
     # NumPy constant: embedded at trace time without touching any device
     triu_mask = np.triu(np.ones((n, n), dtype))
 
-    def _solve_core_inner(P, q, A, b):
+    def _solve_core_inner(P, q, A, b, ws=None):
         # unscaled inf-norms of the linear terms, cached before
         # equilibration (problemdata.rs:147-148)
         normq = jnp.max(jnp.abs(q), initial=0.0)
@@ -146,9 +149,15 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
         dinv, einv, cinv = 1.0 / d, 1.0 / e, 1.0 / c_scale
         equil = (d, e, dinv, einv, cinv)
 
+        if ws is not None:
+            # scale the user-frame iterate into the equilibrated frame
+            # (inverse of the unscale step below, at τ = 1)
+            x0, s0, z0 = ws
+            ws = (x0 * dinv, s0 * e, z0 * c_scale * einv)
+
         st = run_ipm(
             layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
-            callback=callback, use_pallas=use_pallas,
+            callback=callback, use_pallas=use_pallas, warm_start=ws,
         )
 
         # ---- solution post-processing (solution.rs:68-111,
@@ -196,12 +205,17 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             "history": st.history,
         }
 
-    def solve_core(P, q, A, b):
-        # IPM residuals and refinement need true f32 accumulation; the
-        # TPU's default bf16 matmul passes destroy the achievable
-        # tolerances, so pin full precision for everything traced here.
-        with jax.default_matmul_precision("highest"):
-            return _solve_core_inner(P, q, A, b)
+    if warm:
+        def solve_core(P, q, A, b, x0, s0, z0):
+            with jax.default_matmul_precision("highest"):
+                return _solve_core_inner(P, q, A, b, ws=(x0, s0, z0))
+    else:
+        def solve_core(P, q, A, b):
+            # IPM residuals and refinement need true f32 accumulation; the
+            # TPU's default bf16 matmul passes destroy the achievable
+            # tolerances, so pin full precision for everything traced here.
+            with jax.default_matmul_precision("highest"):
+                return _solve_core_inner(P, q, A, b)
 
     return solve_core
 
@@ -355,10 +369,18 @@ class DefaultSolver:
         self._print_buffer = None
 
     # ------------------------------------------------------------------
-    def solve(self) -> DefaultSolution:
+    def solve(self, warm_start=None) -> DefaultSolution:
+        """Solve the problem.
+
+        ``warm_start`` (optional) is a previous :class:`DefaultSolution` or
+        an (x, s, z) triple in the user frame, used as the initial iterate
+        (the reference always cold starts; SURVEY §5.4)."""
         t0 = time.perf_counter()
         with self.timers.scope("solve"):
-            out = self._solve_fn(self._P, self._q, self._A, self._b)
+            if warm_start is not None:
+                out = self._solve_warm(warm_start)
+            else:
+                out = self._solve_fn(self._P, self._q, self._A, self._b)
             out = jax.tree.map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 
@@ -427,6 +449,40 @@ class DefaultSolver:
         self.iteration_history = np.asarray(out["history"])
 
         return self.solution
+
+    # ------------------------------------------------------------------
+    def _solve_warm(self, warm_start):
+        if self._chordal is not None or self._presolver is not None:
+            raise ValueError(
+                "warm starting is not supported with presolve reduction or "
+                "chordal decomposition; construct the solver with "
+                "presolve_enable=False / chordal_decomposition_enable=False"
+            )
+        if isinstance(warm_start, DefaultSolution):
+            x0, s0, z0 = warm_start.x, warm_start.s, warm_start.z
+        else:
+            x0, s0, z0 = warm_start
+        x0 = np.asarray(x0, np.float64).ravel()
+        s0 = np.asarray(s0, np.float64).ravel()
+        z0 = np.asarray(z0, np.float64).ravel()
+        if x0.shape[0] != self.n or s0.shape[0] != self.m or z0.shape[0] != self.m:
+            raise ValueError("warm start has wrong dimensions")
+        perm = self._layout.perm
+        put = lambda v: jax.device_put(np.asarray(v, self._dtype), self._device)
+
+        if not hasattr(self, "_warm_fn") or self._warm_fn is None:
+            self._warm_fn = jax.jit(
+                build_solve_core(
+                    self._layout, self.settings, self._n_int,
+                    self._p_is_zero, self._dtype,
+                    callback=self._callback, use_pallas=self._use_pallas,
+                    warm=True,
+                )
+            )
+        return self._warm_fn(
+            self._P, self._q, self._A, self._b,
+            put(x0), put(s0[perm]), put(z0[perm]),
+        )
 
     # ------------------------------------------------------------------
     # data updating (reference: data_updating.rs:68-160)
@@ -544,6 +600,7 @@ class DefaultSolver:
     # ------------------------------------------------------------------
 
     def _rebuild_solve_fn(self):
+        self._warm_fn = None
         if self._callback is None:
             self._solve_fn = _build_solve_fn(
                 self._layout, self.settings, self._n_int, self._p_is_zero,

@@ -170,3 +170,29 @@ def test_time_limit():
         ct.DefaultSettings(verbose=False, time_limit=60.0),
     )
     assert solver2.solve().status == ct.SolverStatus.Solved
+
+
+def test_warm_start():
+    # parametric re-solve: warm starting from the previous solution should
+    # converge in fewer iterations than a cold start
+    rng = np.random.default_rng(0)
+    n = 8
+    M = rng.normal(size=(n, n)) / np.sqrt(n)
+    P = M @ M.T + 0.5 * np.eye(n)
+    q = rng.normal(size=n)
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    b = np.ones(2 * n)
+    cones = [ct.NonnegativeConeT(2 * n)]
+    settings = ct.DefaultSettings(verbose=False, presolve_enable=False)
+
+    solver = ct.DefaultSolver(P, q, A, b, cones, settings)
+    sol_cold = solver.solve()
+    assert sol_cold.status == ct.SolverStatus.Solved
+
+    # perturb q slightly and warm start from the previous solution
+    solver.update_q(q + 0.01 * rng.normal(size=n))
+    warm = solver.solve(warm_start=sol_cold)
+    cold = solver.solve()
+    assert warm.status == ct.SolverStatus.Solved
+    assert np.allclose(warm.x, cold.x, atol=1e-6)
+    assert warm.iterations <= cold.iterations
