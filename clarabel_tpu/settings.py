@@ -107,7 +107,9 @@ class DefaultSettings:
             raise SettingsError("max_iter must be >= 1")
         if not self.direct_kkt_solver:
             raise SettingsError("only direct KKT solvers are supported")
-        if self.direct_solve_method not in ("auto", "lu", "schur", "dense", "qdldl", "faer"):
+        if self.direct_solve_method not in (
+            "auto", "lu", "schur", "schur_diag", "pallas", "dense", "qdldl", "faer"
+        ):
             raise SettingsError(
                 f"unknown direct_solve_method {self.direct_solve_method!r}"
             )
