@@ -123,6 +123,14 @@ class BatchSolver:
         )
         batched = jax.vmap(core)
 
+        self._core_args = dict(
+            layout=self._layout, settings=self.settings, n=n,
+            p_is_zero=self._p_is_zero, dtype_name=self._dtype,
+            use_pallas=use_pallas,
+        )
+        self._warm_fn = None
+        self._device = device
+
         if mesh is not None:
             self._mesh = mesh
             axis = mesh.axis_names[0]
@@ -149,11 +157,18 @@ class BatchSolver:
         self._q = put(q)
         self._A = put(A)
         self._b = put(b)
+        self._put = put
 
     # ------------------------------------------------------------------
-    def solve(self) -> BatchSolution:
+    def solve(self, warm_start=None) -> BatchSolution:
+        """Solve the batch.  ``warm_start`` is a previous
+        :class:`BatchSolution` or an (x, s, z) triple of [B, ...] arrays
+        used as initial iterates per lane (MPC/scenario re-solve loops)."""
         t0 = time.perf_counter()
-        out = self._solve_fn(self._P, self._q, self._A, self._b)
+        if warm_start is not None:
+            out = self._solve_warm(warm_start)
+        else:
+            out = self._solve_fn(self._P, self._q, self._A, self._b)
         out = jax.tree.map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 
@@ -162,6 +177,7 @@ class BatchSolver:
         z = out["z"][:, iperm]
         s = out["s"][:, iperm]
 
+        self._last_out = out
         return BatchSolution(
             x=out["x"],
             z=z,
@@ -174,3 +190,31 @@ class BatchSolver:
             r_dual=out["r_dual"],
             solve_time=solve_time,
         )
+
+    def _solve_warm(self, warm_start):
+        if isinstance(warm_start, BatchSolution):
+            x0, s0, z0 = warm_start.x, warm_start.s, warm_start.z
+        else:
+            x0, s0, z0 = warm_start
+        x0 = np.asarray(x0, np.float64)
+        s0 = np.asarray(s0, np.float64)
+        z0 = np.asarray(z0, np.float64)
+        if x0.shape != (self.B, self.n) or s0.shape != (self.B, self.m):
+            raise ValueError("warm start has wrong batch dimensions")
+
+        if self._warm_fn is None:
+            core = _solver.build_solve_core(warm=True, **self._core_args)
+            self._warm_fn = jax.jit(jax.vmap(core))
+
+        perm = self._layout.perm
+        return self._warm_fn(
+            self._P, self._q, self._A, self._b,
+            self._put(x0), self._put(s0[:, perm]), self._put(z0[:, perm]),
+        )
+
+    def iteration_history(self):
+        """Per-lane progress tables [B, max_iter+1, 9] from the last solve
+        (columns: pcost, dcost, gap_abs, gap_rel, pres, dres, k/t, μ, step)."""
+        if not hasattr(self, "_last_out"):
+            raise ValueError("no solve has been run yet")
+        return np.asarray(self._last_out["history"])

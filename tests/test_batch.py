@@ -71,3 +71,19 @@ def test_batch_mixed_statuses():
     assert bs.statuses()[0] == ct.SolverStatus.Solved
     assert bs.statuses()[1] == ct.SolverStatus.PrimalInfeasible
     assert np.isnan(bs.obj_val[1])
+
+
+def test_batch_warm_start():
+    B = 4
+    P, q, A, b, cones = qp_batch(B, seed=7)
+    batch = ct.BatchSolver(P, q, A, b, cones, ct.DefaultSettings(verbose=False))
+    cold = batch.solve()
+    assert all(s == ct.SolverStatus.Solved for s in cold.statuses())
+
+    warm = batch.solve(warm_start=cold)
+    assert all(s == ct.SolverStatus.Solved for s in warm.statuses())
+    assert np.allclose(warm.x, cold.x, atol=1e-6)
+    assert (warm.iterations <= cold.iterations).all()
+
+    hist = batch.iteration_history()
+    assert hist.shape[0] == B and hist.shape[2] == 9
