@@ -88,14 +88,25 @@ def factor_schur(K_reg, n):
     return ("schur", (LH, LS, A, n)), ok
 
 
-def factor_schur_diag(K_reg, n):
-    """Schur factorization specialized to diagonal H (pure nonnegative-cone
+def factor_schur_diag(K_reg, n, eq_mask=None):
+    """Schur factorization specialized to diagonal H (zero/nonnegative-cone
     layouts): H⁻¹ is an elementwise reciprocal, S builds with one weighted
     Gram matmul, and solves need no [m, m] triangular solves at all —
-    the MXU-optimal path for the batched box-QP workload."""
+    the MXU-optimal path for the batched (box-)QP workload.
+
+    Zero-cone (equality) rows have only the tiny static regularization on
+    their H diagonal; ``eq_mask`` marks them so a heavier proxy
+    regularization δ ≈ 1e-3·max|diag K| keeps the condensation well
+    conditioned in f32 — the iterative refinement against the true K then
+    recovers full f32 accuracy in 2-3 sweeps (the same recovery mechanism
+    the reference uses for its static regularization).
+    """
     Pt = K_reg[:n, :n]
     A = K_reg[n:, :n]
     h = -jnp.diagonal(K_reg)[n:]  # = diag(Hs) + ε > 0
+    if eq_mask is not None:
+        delta_eq = 1e-3 * jnp.max(jnp.abs(jnp.diagonal(K_reg)))
+        h = h + jnp.asarray(eq_mask, K_reg.dtype) * delta_eq
     hinv = 1.0 / h
     S = Pt + A.T @ (hinv[:, None] * A)
     LS = jnp.linalg.cholesky(S)

@@ -370,16 +370,16 @@ def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
     method = settings.direct_solve_method
     is_f32 = jnp.dtype(dtype) == jnp.float32
     if method == "auto":
-        only_nn = (
-            layout.n_zero == 0
-            and layout.m_soc == 0
+        diag_hs = (
+            layout.m_soc == 0
             and layout.num_exp == 0
             and layout.num_pow == 0
             and layout.num_genpow == 0
             and layout.num_psd == 0
         )
-        if is_f32 and only_nn:
-            # diagonal Hs: condensation is exact-conditioned and cheapest
+        if is_f32 and diag_hs:
+            # diagonal Hs (zero/NN cones): condensation stays well
+            # conditioned (equality rows via the δ-proxy + refinement)
             method = "schur_diag"
         else:
             # general cone layouts: full quasidefinite LU.  The Pallas
@@ -435,7 +435,13 @@ def _make_factor_fn(layout, settings, dtype, n, use_pallas=False, method=None):
     if method is None:
         method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
     if method == "schur_diag":
-        return lambda K_reg: kkt_dense.factor_schur_diag(K_reg, n)
+        import numpy as _np
+
+        eq_mask = None
+        if layout.n_zero:
+            eq_mask = _np.zeros(layout.m, _np.float32)
+            eq_mask[: layout.n_zero] = 1.0  # zero cones lead the row order
+        return lambda K_reg: kkt_dense.factor_schur_diag(K_reg, n, eq_mask)
     if method == "pallas":
         from .kkt import pallas_ldl
 

@@ -92,3 +92,19 @@ def test_f32_infeasibility_certificate():
     )
     sol = s.solve()
     assert sol.status == ct.SolverStatus.PrimalInfeasible
+
+
+def test_f32_eq_constrained_schur_diag():
+    # equality rows ride the fast diagonal-Schur path via the delta proxy
+    A1 = np.array([[0.0, 1.0, 1.0], [0.0, 1.0, -1.0]])
+    A = np.vstack([A1, np.eye(3), -np.eye(3)])
+    b = np.concatenate([[2.0, 0.0], 5 * np.ones(6)])
+    cones = [ct.ZeroConeT(2), ct.NonnegativeConeT(6)]
+
+    s = ct.DefaultSolver(
+        np.eye(3), np.zeros(3), A, b, cones, f32_settings(),
+        dtype="float32", device=cpu(),
+    )
+    sol = s.solve()
+    assert sol.status == ct.SolverStatus.Solved
+    assert np.linalg.norm(sol.x - np.array([0.0, 1.0, 1.0])) <= 1e-3
