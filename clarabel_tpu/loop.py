@@ -381,11 +381,18 @@ def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
             # diagonal Hs (zero/NN cones): condensation stays well
             # conditioned (equality rows via the δ-proxy + refinement)
             method = "schur_diag"
-        elif is_f32 and use_pallas and (n + layout.m) <= 1024:
-            # general cone layouts on TPU: Pallas quasidefinite LDLᵀ of
+        elif (
+            is_f32
+            and use_pallas
+            and layout.is_symmetric
+            and (n + layout.m) <= 1024
+        ):
+            # symmetric cone layouts on TPU: Pallas quasidefinite LDLᵀ of
             # the full KKT — VMEM-resident, ~2.4x the batched throughput
             # of pivoted LU on SOC layouts with better f32 convergence.
             # Gated by VMEM capacity (padded KKT must fit on chip).
+            # Nonsymmetric (exp/pow) Hessians are too ill-conditioned for
+            # the unpivoted f32 factorization, so they keep pivoted LU.
             method = "pallas"
         else:
             method = "lu"
