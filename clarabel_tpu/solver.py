@@ -741,6 +741,17 @@ class DefaultSolver:
     def print_timers(self):  # pragma: no cover - cosmetic
         self.timers.print_tree()
 
+    # accessor aliases mirroring the reference Python binding surface
+    # (impl_default_py.rs:626-791)
+    def get_info(self) -> DefaultInfo:
+        return self.info
+
+    def get_solution(self) -> Optional[DefaultSolution]:
+        return self.solution
+
+    def get_settings(self) -> DefaultSettings:
+        return self.settings
+
     def profile(self, log_dir: str):
         """Context manager tracing the next solve(s) with ``jax.profiler``
         (device-level timeline; the TPU counterpart of the reference's

@@ -100,3 +100,49 @@ def test_chordal_decomposition_occurs():
     assert len(solver._chordal.spatterns) == 1
     # decomposition must add at least one extra clique cone
     assert solver._chordal.spatterns[0].sntree.n_cliques > 1
+
+
+def test_chordal_banded_sdp():
+    # larger banded PSD cone (n=12): band pattern decomposes into a chain
+    # of small cliques; solution must match the undecomposed solve
+    n_mat = 12
+    tri = n_mat * (n_mat + 1) // 2
+
+    def tri_index(i, j):
+        return j * (j + 1) // 2 + i
+
+    # banded pattern: diagonal + first off-diagonal
+    pattern = [(i, i) for i in range(n_mat)]
+    pattern += [(i, i + 1) for i in range(n_mat - 1)]
+    rows = [tri_index(i, j) for (i, j) in pattern]
+
+    nvar = len(pattern)
+    A = np.zeros((tri, nvar))
+    for k, r in enumerate(rows):
+        A[r, k] = -1.0
+    b = np.zeros(tri)
+
+    P = np.eye(nvar)
+    q = np.array([-1.0 if i == j else 0.2 for (i, j) in pattern])
+    cones = [ct.PSDTriangleConeT(n_mat)]
+
+    ref = ct.DefaultSolver(
+        P, q, A, b, cones,
+        ct.DefaultSettings(verbose=False, chordal_decomposition_enable=False),
+    ).solve()
+    assert ref.status == ct.SolverStatus.Solved
+
+    for compact in (False, True):
+        solver = ct.DefaultSolver(
+            P, q, A, b, cones,
+            ct.DefaultSettings(
+                verbose=False,
+                chordal_decomposition_enable=True,
+                chordal_decomposition_compact=compact,
+            ),
+        )
+        assert solver._chordal is not None
+        sol = solver.solve()
+        assert sol.status == ct.SolverStatus.Solved
+        assert abs(sol.obj_val - ref.obj_val) <= 1e-6
+        assert np.linalg.norm(sol.x - ref.x) <= 1e-5
