@@ -156,6 +156,11 @@ def _raw_solve(factors, rhs):
 
         packed, N = data
         return pallas_ldl.ldl_solve(packed, N, rhs)
+    if kind == "pldl_lower":
+        from . import pallas_ldl
+
+        packed, N = data
+        return pallas_ldl.ldl_solve_lower(packed, N, rhs)
     if kind == "schur_diag":
         hinv, LS, A, n = data
         b1, b2 = rhs[:n], rhs[n:]

@@ -33,6 +33,85 @@ def _pad_to(n: int, multiple: int = 128) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
 
+def _ldl_kernel_call_blocked(K_pad, dsigns_np, *, eps, delta, n_total,
+                             interpret=False):
+    """Panel-blocked variant: 128-column panels eliminated with rank-1
+    steps confined to the [Np, 128] panel slice, followed by ONE MXU
+    matmul per panel for the trailing symmetric update
+    (K₂₂ -= L₂₁ D L₂₁ᵀ).  The MXU carries the O(N·Np²) bulk of the work;
+    the VPU only does O(N·Np·128).
+    """
+    Np = K_pad.shape[-1]
+    PW = 128
+    n_panels = (n_total + PW - 1) // PW
+
+    def kernel(K_ref, out_ref):
+        out_ref[:] = K_ref[:]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+        pcol_ids = jax.lax.broadcasted_iota(jnp.int32, (1, PW), 1)
+
+        for p in range(n_panels):
+            p0 = p * PW
+            p_end = p0 + PW
+            cols_in_panel = min(PW, n_total - p0)
+
+            # ---- panel factorization: rank-1 steps on [Np, PW].
+            # Panel columns receive every update, so below the diagonal
+            # they hold the un-normalized L·d values at completion.
+            dvec = jnp.ones((1, PW), K_pad.dtype)
+            for j_local in range(cols_in_panel):
+                j = p0 + j_local
+                panel = out_ref[:, p0:p_end]  # [Np, PW]
+                rowj = panel[j, :].reshape(1, PW)
+
+                d = jnp.sum(jnp.where(pcol_ids == j_local, rowj, 0.0))
+                sign = float(dsigns_np[0, j])
+                d = jnp.where(d * sign < eps, delta * sign, d)
+                dvec = jnp.where(pcol_ids == j_local, d, dvec)
+
+                rowv = jnp.where(pcol_ids > j_local, rowj, 0.0)  # [1, PW]
+                colj = jnp.sum(
+                    jnp.where(pcol_ids == j_local, panel, 0.0),
+                    axis=1,
+                    keepdims=True,
+                )  # [Np, 1]
+                colv = jnp.where(row_ids > j, colj, 0.0) / d
+
+                out_ref[:, p0:p_end] = panel - colv * rowv
+
+            # ---- normalize the panel into packed-L form (L strictly
+            # below the diagonal, D on the diagonal, zeros above)
+            panel = out_ref[:, p0:p_end]
+            diag_pos = p0 + pcol_ids  # [1, PW] global row of each diagonal
+            below = row_ids > diag_pos
+            packed = jnp.where(
+                below,
+                panel / dvec,
+                jnp.where(row_ids == diag_pos, dvec + 0.0 * panel, 0.0),
+            )
+            out_ref[:, p0:p_end] = packed
+
+            # ---- trailing symmetric update K22 -= L21 D L21ᵀ (MXU) ----
+            if p_end < n_total:
+                B = out_ref[p_end:, p0:p_end]  # [M, PW] = L21
+                upd = jax.lax.dot_general(
+                    B * dvec,
+                    B,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=K_pad.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                out_ref[p_end:, p_end:] = out_ref[p_end:, p_end:] - upd
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, Np), K_pad.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(K_pad)
+
+
 def _ldl_kernel_call_unrolled(K_pad, dsigns_np, *, eps, delta, n_total,
                               interpret=False):
     """Fully static variant: the column loop is unrolled at trace time, so
@@ -122,7 +201,7 @@ def _ldl_kernel_call(K_pad, dsigns_pad, eps, delta, n_total, interpret=False):
 
 
 def make_ldl_factor(n: int, m: int, settings, dtype, interpret: bool = False,
-                    variant: str = "unrolled"):
+                    variant: str = "auto"):
     """Build the factor function for (n + m)-dimensional KKT matrices.
 
     Returns ``factor(K_reg) -> (("pldl", packed), ok)`` with packed factors
@@ -142,11 +221,24 @@ def make_ldl_factor(n: int, m: int, settings, dtype, interpret: bool = False,
     if not settings.dynamic_regularization_enable:
         eps, delta = -np.inf, 0.0
 
+    if variant == "auto":
+        # the fully-unrolled rank-1 kernel is marginally faster for small
+        # systems but Mosaic fails on its ~512-step unroll; the panel-
+        # blocked MXU kernel scales to large N with identical accuracy
+        variant = "unrolled" if N <= 256 else "blocked"
+
     def factor(K_reg):
         K_pad = jnp.zeros((Np, Np), K_reg.dtype)
         K_pad = K_pad.at[:N, :N].set(K_reg)
         K_pad = K_pad.at[jnp.arange(N, Np), jnp.arange(N, Np)].set(1.0)
-        if variant == "unrolled":
+        if variant == "blocked":
+            packed = _ldl_kernel_call_blocked(
+                K_pad, dsigns, eps=float(eps), delta=float(delta),
+                n_total=N, interpret=interpret,
+            )
+            ok = jnp.all(jnp.isfinite(packed))
+            return ("pldl_lower", (packed, N)), ok
+        elif variant == "unrolled":
             packed = _ldl_kernel_call_unrolled(
                 K_pad, dsigns, eps=float(eps), delta=float(delta),
                 n_total=N, interpret=interpret,
@@ -160,6 +252,23 @@ def make_ldl_factor(n: int, m: int, settings, dtype, interpret: bool = False,
         return ("pldl", (packed, N)), ok
 
     return factor
+
+
+def ldl_solve_lower(packed, N, rhs):
+    """Solve K x = rhs from packed-L factors (blocked kernel layout:
+    L strictly below the diagonal, D on the diagonal)."""
+    Np = packed.shape[-1]
+    b = jnp.zeros(Np, rhs.dtype).at[:N].set(rhs)
+
+    L = jnp.tril(packed, -1) + jnp.eye(Np, dtype=packed.dtype)
+    d = jnp.diagonal(packed)
+
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True, unit_diagonal=True)
+    y = y / d
+    x = jax.scipy.linalg.solve_triangular(
+        L, y, trans="T", lower=True, unit_diagonal=True
+    )
+    return x[:N]
 
 
 def ldl_solve(packed, N, rhs):
