@@ -6,8 +6,12 @@ portfolio sweeps) where the TPU design shines: thousands of IPM solves per
 second on one chip.
 """
 
+import os
+import sys
+
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import clarabel_tpu as ct
 
 

@@ -1,7 +1,11 @@
 """Basic QP (mirrors the reference's examples/rust/example_qp.rs)."""
 
+import os
+import sys
+
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import clarabel_tpu as ct
 
 

@@ -5,8 +5,12 @@ single large PSD cone chordally decomposable into a chain of small clique
 cones (solved with batched on-chip linalg).
 """
 
+import os
+import sys
+
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import clarabel_tpu as ct
 
 

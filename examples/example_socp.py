@@ -1,7 +1,11 @@
 """Second-order cone program (mirrors examples/rust/example_socp.rs)."""
 
+import os
+import sys
+
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import clarabel_tpu as ct
 
 
