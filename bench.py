@@ -36,12 +36,7 @@ def main():
     P, q, A, b = make_batch(B, n)
     cones = [ct.NonnegativeConeT(2 * n)]
     # f32-appropriate tolerances (f64 defaults are below f32 resolution)
-    settings = ct.DefaultSettings(
-        verbose=False,
-        tol_gap_abs=1e-5, tol_gap_rel=1e-5, tol_feas=1e-5,
-        tol_infeas_abs=1e-5, tol_infeas_rel=1e-5,
-        iterative_refinement_abstol=1e-6, iterative_refinement_reltol=1e-7,
-    )
+    settings = ct.DefaultSettings.for_float32(verbose=False)
 
     device = jax.devices()[0]
 

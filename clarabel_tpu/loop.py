@@ -757,6 +757,14 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
 
             dx, ds, dz, dtau, dkappa = comb
             a = jnp.where(take, alpha, 0.0)
+
+            # homogeneous renormalization (variables.rs:219-228): iterates
+            # are rays, so scaling by 1/max(τ, κ) is free — and essential
+            # in f32, where stalled solves otherwise drive τ, κ into
+            # underflow and poison the final unscaling
+            new_tau = st.tau + a * dtau
+            new_kappa = st.kappa + a * dkappa
+            invscale = 1.0 / jnp.maximum(new_tau, new_kappa)
             st = st._replace(
                 # save previous iterate before stepping (solver.rs:429-432)
                 px=jnp.where(take, st.x, st.px),
@@ -770,11 +778,11 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
                 prev_res_dual=jnp.where(take, st.res_dual, st.prev_res_dual),
                 prev_gap_abs=jnp.where(take, st.gap_abs, st.prev_gap_abs),
                 prev_gap_rel=jnp.where(take, st.gap_rel, st.prev_gap_rel),
-                x=st.x + a * dx,
-                s=st.s + a * ds,
-                z=st.z + a * dz,
-                tau=st.tau + a * dtau,
-                kappa=st.kappa + a * dkappa,
+                x=(st.x + a * dx) * invscale,
+                s=(st.s + a * ds) * invscale,
+                z=(st.z + a * dz) * invscale,
+                tau=new_tau * invscale,
+                kappa=new_kappa * invscale,
                 sigma=sigma,
                 step_length=a,
                 status=status,

@@ -98,6 +98,23 @@ class DefaultSettings:
     chordal_decomposition_compact: bool = True
     chordal_decomposition_complete_dual: bool = True
 
+    @classmethod
+    def for_float32(cls, **overrides) -> "DefaultSettings":
+        """Defaults retuned for the f32/TPU regime: the reference's 1e-8
+        tolerances sit below f32 resolution, so targets move to ~1e-5 with
+        the reduced tier at 1e-4/1e-3 and refinement thresholds near the
+        f32 floor."""
+        base = dict(
+            tol_gap_abs=1e-5, tol_gap_rel=1e-5, tol_feas=1e-5,
+            tol_infeas_abs=1e-5, tol_infeas_rel=1e-5,
+            reduced_tol_gap_abs=1e-4, reduced_tol_gap_rel=1e-4,
+            reduced_tol_feas=1e-3,
+            iterative_refinement_abstol=1e-6,
+            iterative_refinement_reltol=1e-7,
+        )
+        base.update(overrides)
+        return cls(**base)
+
     def validate(self) -> None:
         """Check settings validity at construction.
 

@@ -25,11 +25,7 @@ def main():
     b = np.ones((B, 2 * n))
     cones = [ct.NonnegativeConeT(2 * n)]
 
-    settings = ct.DefaultSettings(
-        verbose=False,
-        tol_gap_abs=1e-5, tol_gap_rel=1e-5, tol_feas=1e-5,
-        tol_infeas_abs=1e-5, tol_infeas_rel=1e-5,
-    )
+    settings = ct.DefaultSettings.for_float32(verbose=False)
     batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32")
     sol = batch.solve()
 

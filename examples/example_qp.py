@@ -25,7 +25,7 @@ def main():
     b = np.array([2.0, 2.0, 2.0, 2.0, 2.0])
     cones = [ct.ZeroConeT(1), ct.NonnegativeConeT(4)]
 
-    solver = ct.DefaultSolver(P, q, A, b, cones, ct.DefaultSettings())
+    solver = ct.DefaultSolver(P, q, A, b, cones, ct.DefaultSettings.for_float32(verbose=True))
     sol = solver.solve()
     print("status:", sol.status)
     print("x =", sol.x)

@@ -38,7 +38,7 @@ def main():
 
     solver = ct.DefaultSolver(
         P, q, A, b, cones,
-        ct.DefaultSettings(chordal_decomposition_enable=True),
+        ct.DefaultSettings.for_float32(chordal_decomposition_enable=True),
     )
     if solver._chordal is not None:
         ncliques = sum(sp.sntree.n_cliques for sp in solver._chordal.spatterns)

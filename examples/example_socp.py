@@ -34,7 +34,7 @@ def main():
     b_full = np.concatenate([b, b2])
     cones = [ct.SecondOrderConeT(n + 1), ct.NonnegativeConeT(2 * n)]
 
-    solver = ct.DefaultSolver(P, q, A_full, b_full, cones, ct.DefaultSettings())
+    solver = ct.DefaultSolver(P, q, A_full, b_full, cones, ct.DefaultSettings.for_float32(verbose=True))
     sol = solver.solve()
     print("status:", sol.status)
     print("t =", sol.x[0], " x =", sol.x[1:])
