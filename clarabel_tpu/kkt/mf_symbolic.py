@@ -1,0 +1,472 @@
+"""Host-side symbolic analysis for the multifrontal sparse LDLᵀ engine.
+
+This is the TPU-native re-design of the reference's QDLDL symbolic phase
+(reference: src/qdldl/qdldl.rs:433-464 elimination tree + column counts,
+:905-922 AMD ordering).  Instead of preparing a scalar up-looking
+factorization, the analysis here prepares a *supernodal multifrontal*
+schedule shaped for XLA/TPU execution:
+
+  - fill-reducing ordering (SuperLU's symmetric MMD, RCM fallback),
+  - elimination tree + full symbolic factor pattern (native C++ engine
+    ``native/symbolic.cpp`` with a NumPy fallback),
+  - fundamental supernodes + relaxed amalgamation (fatter panels for the
+    MXU at the cost of a bounded fraction of explicit zeros),
+  - a *levelized* schedule of the supernodal assembly tree: all fronts in
+    a level are independent and are batched per padded-size bucket, so the
+    numeric factorization is a short sequence of batched dense partial
+    factorizations (scan-factored pivot panels + MXU trailing updates)
+    instead of a scalar sparse loop,
+  - flat gather/scatter index maps for (a) initializing fronts from the
+    KKT nonzeros, (b) the extend-add of child update matrices into parent
+    fronts, and (c) the levelized triangular solves.
+
+Everything here is plain NumPy executed once at setup; the output
+``MFPlan`` contains only static structure (shapes, Python lists) and a
+pytree of integer index arrays that the jitted numeric kernels take as
+inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+# --------------------------------------------------------------------------
+# ordering
+# --------------------------------------------------------------------------
+
+def fill_reducing_ordering(K_lower: sp.csc_matrix, method: str = "auto") -> np.ndarray:
+    """Symmetric fill-reducing ordering of the pattern of K (given as its
+    lower triangle).  Returns perm with perm[k] = original index of the
+    k-th pivot.
+
+    Primary: SuperLU's MMD_AT_PLUS_A in symmetric mode (the same
+    minimum-degree family as the reference's AMD; qdldl.rs:905-922).
+    Fallbacks: reverse Cuthill-McKee, then natural order.
+    """
+    n = K_lower.shape[0]
+    if n == 0 or method == "natural":
+        return np.arange(n, dtype=np.int64)
+    pattern = (K_lower + K_lower.T).tocsc()
+    if method in ("auto", "mmd"):
+        try:
+            import scipy.sparse.linalg as spl
+
+            # values are irrelevant to perm_c (computed symbolically);
+            # a strongly diagonally dominant proxy keeps the numeric
+            # phase from erroring out
+            proxy = pattern.copy()
+            proxy.data = np.ones_like(proxy.data)
+            proxy = (proxy + sp.eye(n, format="csc") * (2.0 * n)).tocsc()
+            lu = spl.splu(
+                proxy,
+                permc_spec="MMD_AT_PLUS_A",
+                diag_pivot_thresh=0.0,
+                options=dict(SymmetricMode=True),
+            )
+            perm = np.asarray(lu.perm_c, np.int64)
+            if np.unique(perm).size == n:
+                return perm
+        except Exception:
+            pass
+    try:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        return np.asarray(
+            reverse_cuthill_mckee(pattern.tocsr(), symmetric_mode=True), np.int64
+        )
+    except Exception:
+        return np.arange(n, dtype=np.int64)
+
+
+# --------------------------------------------------------------------------
+# symbolic factorization (etree + full pattern)
+# --------------------------------------------------------------------------
+
+def symbolic_factor_csc(
+    n: int, col_ptr: np.ndarray, row_idx: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Symbolic Cholesky of a strictly-lower CSC pattern.
+
+    Returns (parent, L_ptr, L_idx): the elimination tree and the full
+    below-diagonal factor pattern in CSC form (rows sorted per column).
+    Dispatches to the native C++ engine (native/symbolic.cpp) when
+    available; NumPy fallback otherwise.
+    """
+    from .. import native
+
+    lib = native._load()
+    col_ptr = np.ascontiguousarray(col_ptr, np.int64)
+    row_idx = np.ascontiguousarray(row_idx, np.int64)
+    if lib is not None:
+        parent = np.zeros(n, np.int64)
+        lnz = np.zeros(n, np.int64)
+        lib.cl_symbolic_count(
+            n, native._p(col_ptr), native._p(row_idx), native._p(parent),
+            native._p(lnz),
+        )
+        L_ptr = np.zeros(n + 1, np.int64)
+        L_idx = np.zeros(int(lnz.sum()), np.int64)
+        lib.cl_symbolic_pattern(
+            n, native._p(col_ptr), native._p(row_idx), native._p(parent),
+            native._p(L_ptr), native._p(L_idx),
+        )
+        return parent, L_ptr, L_idx
+
+    # NumPy fallback: per-column pattern merge up the elimination tree
+    parent = np.full(n, -1, np.int64)
+    children: List[List[int]] = [[] for _ in range(n)]
+    patterns: List[np.ndarray] = [None] * n  # type: ignore
+    for j in range(n):
+        pat = row_idx[col_ptr[j] : col_ptr[j + 1]]
+        for c in children[j]:
+            cp = patterns[c]
+            pat = np.union1d(pat, cp[cp != j])
+        pat = np.unique(pat)
+        patterns[j] = pat
+        if pat.size:
+            p = int(pat[0])
+            parent[j] = p
+            children[p].append(j)
+    lnz = np.asarray([p.size for p in patterns], np.int64)
+    L_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(lnz, out=L_ptr[1:])
+    L_idx = (
+        np.concatenate(patterns) if n else np.zeros(0, np.int64)
+    ).astype(np.int64)
+    return parent, L_ptr, L_idx
+
+
+# --------------------------------------------------------------------------
+# supernodes
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _SNode:
+    cols: np.ndarray   # sorted pivot columns (permuted frame)
+    rows: np.ndarray   # sorted update rows (all > cols.max())
+    children: List[int]
+    parent: int
+    alive: bool = True
+
+
+def _fundamental_supernodes(
+    n: int, parent: np.ndarray, L_ptr: np.ndarray, L_idx: np.ndarray
+) -> List[_SNode]:
+    """Fundamental supernodes: runs of columns with nested patterns
+    (parent[j-1] == j and lnz[j-1] == lnz[j] + 1)."""
+    lnz = np.diff(L_ptr)
+    starts = [0] if n else []
+    for j in range(1, n):
+        if not (parent[j - 1] == j and lnz[j - 1] == lnz[j] + 1):
+            starts.append(j)
+    starts.append(n)
+
+    snode_of = np.zeros(n, np.int64)
+    nodes: List[_SNode] = []
+    for s in range(len(starts) - 1):
+        j0, j1 = starts[s], starts[s + 1]
+        snode_of[j0:j1] = s
+        w = j1 - j0
+        pat = L_idx[L_ptr[j0] : L_ptr[j0 + 1]]
+        # first w-1 pattern entries are exactly cols j0+1..j1-1
+        rows = pat[w - 1 :]
+        nodes.append(
+            _SNode(
+                cols=np.arange(j0, j1, dtype=np.int64),
+                rows=np.asarray(rows, np.int64),
+                children=[],
+                parent=-1,
+            )
+        )
+    for s, nd in enumerate(nodes):
+        last = int(nd.cols[-1])
+        p = int(parent[last])
+        if p >= 0:
+            nd.parent = int(snode_of[p])
+            nodes[nd.parent].children.append(s)
+    return nodes
+
+
+def _postorder(nodes: List[_SNode]) -> List[int]:
+    order: List[int] = []
+    roots = [i for i, nd in enumerate(nodes) if nd.parent < 0]
+    stack = [(r, False) for r in reversed(roots)]
+    while stack:
+        v, done = stack.pop()
+        if done:
+            order.append(v)
+        else:
+            stack.append((v, True))
+            for c in reversed(nodes[v].children):
+                stack.append((c, False))
+    return order
+
+
+def _panel_cells(c: int, r: int) -> int:
+    """Cells in the lower trapezoidal panel of a front with c pivot
+    columns and r total rows."""
+    return c * r - (c * (c - 1)) // 2
+
+
+def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
+    """Relaxed amalgamation: merge a child supernode into its parent when
+    the resulting explicit-zero fraction stays below ``relax_frac`` (always
+    for tiny children).  Contracting assembly-tree edges is structurally
+    safe: a child's update rows are a subset of its ancestors' columns."""
+    for s in _postorder(nodes):
+        nd = nodes[s]
+        if not nd.alive:
+            continue
+        p = nd.parent
+        if p < 0:
+            continue
+        pn = nodes[p]
+        c1, c2 = nd.cols.size, pn.cols.size
+        if c1 + c2 > max_cols:
+            continue
+        m_cols = np.union1d(nd.cols, pn.cols)
+        m_rows = np.setdiff1d(
+            np.union1d(nd.rows, pn.rows), m_cols, assume_unique=False
+        )
+        cells_m = _panel_cells(m_cols.size, m_cols.size + m_rows.size)
+        cells_old = _panel_cells(c1, c1 + nd.rows.size) + _panel_cells(
+            c2, c2 + pn.rows.size
+        )
+        fill = 1.0 - cells_old / max(cells_m, 1)
+        tiny = c1 <= 3 and nd.rows.size <= 2 * (c2 + pn.rows.size)
+        if fill <= relax_frac or (tiny and fill <= 0.6):
+            # absorb child into parent
+            pn.cols = m_cols
+            pn.rows = m_rows
+            pn.children.remove(s)
+            for c in nd.children:
+                nodes[c].parent = p
+            pn.children.extend(nd.children)
+            nd.alive = False
+
+
+# --------------------------------------------------------------------------
+# level schedule + index maps
+# --------------------------------------------------------------------------
+
+_CPAD_MENU = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+_UPAD_MENU = (
+    0, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
+    1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384,
+)
+
+
+def _pad_to(v: int, menu) -> int:
+    for x in menu:
+        if v <= x:
+            return x
+    raise ValueError(f"front dimension {v} exceeds the padding menu")
+
+
+@dataclasses.dataclass
+class MFBucket:
+    """One batch of same-padded fronts within a level.  All index arrays
+    live in ``MFPlan.arrays`` under this bucket's key prefix."""
+
+    c_pad: int
+    u_pad: int
+    k: int
+    node_ids: List[int]
+    # key names into MFPlan.arrays
+    key: str
+
+    @property
+    def r_pad(self) -> int:
+        return self.c_pad + self.u_pad
+
+
+@dataclasses.dataclass
+class MFPlan:
+    """Static schedule + index-array pytree for the numeric kernels."""
+
+    N: int
+    nnzL: int
+    flops: float
+    levels: List[List[MFBucket]]
+    arrays: Dict[str, np.ndarray]
+    # assembly instructions: per (level li, bucket bi) a list of groups
+    # (src_level, src_bucket, src_key, dst_key) referencing arrays
+    n_supernodes: int = 0
+
+    def device_arrays(self):
+        return dict(self.arrays)
+
+
+def analyze(
+    K_lower: sp.csc_matrix,
+    dsigns: np.ndarray,
+    ordering: str = "auto",
+    max_supernode_cols: int = 256,
+    relax_frac: float = 0.25,
+) -> MFPlan:
+    """Full symbolic analysis of a quasidefinite matrix given by its lower
+    triangle (pattern only; ``K_lower.data`` may be anything).
+
+    ``dsigns`` gives the expected sign of each pivot (+1/-1) for dynamic
+    regularization (reference: qdldl.rs:517-527).
+    """
+    N = K_lower.shape[0]
+    K_lower = K_lower.tocsc()
+    K_lower.sort_indices()
+
+    perm = fill_reducing_ordering(K_lower, ordering)
+    inv = np.argsort(perm).astype(np.int64)
+
+    # permuted lower pattern, with data = position into the caller's
+    # canonical K_lower nonzero order
+    coo = K_lower.tocoo()
+    pr, pc = inv[coo.row], inv[coo.col]
+    lo = np.minimum(pr, pc)
+    hi = np.maximum(pr, pc)
+    Kp = sp.csc_matrix(
+        (np.arange(coo.nnz, dtype=np.int64), (hi, lo)), shape=(N, N)
+    )
+    Kp.sort_indices()
+    kperm_map = Kp.data.astype(np.int64)  # Kvals_perm = Kvals[kperm_map]
+
+    # strictly-lower pattern for the symbolic pass
+    strict = sp.csc_matrix(Kp, copy=True)
+    mask = strict.indices != np.repeat(
+        np.arange(N), np.diff(strict.indptr)
+    )
+    s_idx = strict.indices[mask].astype(np.int64)
+    s_cnt = np.zeros(N, np.int64)
+    np.add.at(s_cnt, np.repeat(np.arange(N), np.diff(strict.indptr))[mask], 1)
+    s_ptr = np.zeros(N + 1, np.int64)
+    np.cumsum(s_cnt, out=s_ptr[1:])
+
+    parent, L_ptr, L_idx = symbolic_factor_csc(N, s_ptr, s_idx)
+
+    nodes = _fundamental_supernodes(N, parent, L_ptr, L_idx)
+    _amalgamate(nodes, max_supernode_cols, relax_frac)
+
+    live = [i for i, nd in enumerate(nodes) if nd.alive]
+    # levelize
+    level_of: Dict[int, int] = {}
+    for s in _postorder(nodes):
+        if not nodes[s].alive:
+            continue
+        kids = [level_of[c] for c in nodes[s].children]
+        level_of[s] = (max(kids) + 1) if kids else 0
+    n_levels = (max(level_of.values()) + 1) if live else 0
+
+    dsigns_perm = np.asarray(dsigns, np.float64)[perm]
+
+    arrays: Dict[str, np.ndarray] = {
+        "perm": perm.astype(np.int32),
+        "inv": inv.astype(np.int32),
+        "kperm_map": kperm_map.astype(np.int32),
+    }
+
+    # bucket fronts per level
+    levels: List[List[MFBucket]] = []
+    # where each supernode's update matrix lives: sid -> (level, bucket, lane)
+    u_slot: Dict[int, Tuple[int, int, int]] = {}
+    nnzL = 0
+    flops = 0.0
+
+    for li in range(n_levels):
+        sids = [s for s in live if level_of[s] == li]
+        by_bucket: Dict[Tuple[int, int], List[int]] = {}
+        for s in sids:
+            nd = nodes[s]
+            cp = _pad_to(nd.cols.size, _CPAD_MENU)
+            up = _pad_to(nd.rows.size, _UPAD_MENU)
+            by_bucket.setdefault((cp, up), []).append(s)
+        lvl: List[MFBucket] = []
+        for bi, ((cp, up), members) in enumerate(sorted(by_bucket.items())):
+            key = f"L{li}B{bi}"
+            k = len(members)
+            rp = cp + up
+            cols_g = np.full((k, cp), N, np.int32)
+            rows_g = np.full((k, up), N, np.int32)
+            signs = np.ones((k, cp), np.float64)
+            init_src: List[np.ndarray] = []
+            init_dst: List[np.ndarray] = []
+            asm_groups: Dict[Tuple[int, int], List[Tuple[np.ndarray, np.ndarray]]] = {}
+            for lane, s in enumerate(members):
+                nd = nodes[s]
+                c, u = nd.cols.size, nd.rows.size
+                cols_g[lane, :c] = nd.cols
+                rows_g[lane, :u] = nd.rows
+                signs[lane, :c] = dsigns_perm[nd.cols]
+                nnzL += _panel_cells(c, c + u)
+                flops += float(c) * (c + u) * (c + u)
+                # front row layout: pivot cols at 0..c-1, pad cols at
+                # c..c_pad-1, update rows from c_pad (must match the
+                # [c_pad | u_pad] split in the numeric kernels)
+                pos_of = {int(g): p for p, g in enumerate(nd.cols)}
+                pos_of.update(
+                    {int(g): cp + p for p, g in enumerate(nd.rows)}
+                )
+                for lj, j in enumerate(nd.cols):
+                    a, b_ = Kp.indptr[j], Kp.indptr[j + 1]
+                    rws = Kp.indices[a:b_]
+                    src = np.arange(a, b_, dtype=np.int64)
+                    dst = (
+                        lane * rp * rp
+                        + np.asarray([pos_of[int(r)] for r in rws], np.int64) * rp
+                        + lj
+                    )
+                    init_src.append(src)
+                    init_dst.append(dst)
+                # extend-add from children
+                for ch in nd.children:
+                    cnd = nodes[ch]
+                    cu = cnd.rows.size
+                    if cu == 0:
+                        continue
+                    sl, sb, slane = u_slot[ch]
+                    cup = levels[sl][sb].u_pad
+                    ppos = np.asarray(
+                        [pos_of[int(r)] for r in cnd.rows], np.int64
+                    )
+                    ti, tj = np.tril_indices(cu)
+                    src = slane * cup * cup + ti * cup + tj
+                    dst = lane * rp * rp + ppos[ti] * rp + ppos[tj]
+                    asm_groups.setdefault((sl, sb), []).append((src, dst))
+                u_slot[s] = (li, bi, lane)
+            arrays[key + ":cols_g"] = cols_g
+            arrays[key + ":rows_g"] = rows_g
+            arrays[key + ":signs"] = signs
+            arrays[key + ":init_src"] = (
+                np.concatenate(init_src).astype(np.int32)
+                if init_src
+                else np.zeros(0, np.int32)
+            )
+            arrays[key + ":init_dst"] = (
+                np.concatenate(init_dst).astype(np.int32)
+                if init_dst
+                else np.zeros(0, np.int32)
+            )
+            asm_list = []
+            for (sl, sb), pairs in sorted(asm_groups.items()):
+                src = np.concatenate([p[0] for p in pairs]).astype(np.int32)
+                dst = np.concatenate([p[1] for p in pairs]).astype(np.int32)
+                akey = f"{key}:asm{sl}_{sb}"
+                arrays[akey + ":src"] = src
+                arrays[akey + ":dst"] = dst
+                asm_list.append((sl, sb, akey))
+            b = MFBucket(c_pad=cp, u_pad=up, k=k, node_ids=members, key=key)
+            b.asm = asm_list  # type: ignore[attr-defined]
+            lvl.append(b)
+        levels.append(lvl)
+
+    return MFPlan(
+        N=N,
+        nnzL=int(nnzL),
+        flops=float(flops),
+        levels=levels,
+        arrays=arrays,
+        n_supernodes=len(live),
+    )
