@@ -214,10 +214,31 @@ def _panel_cells(c: int, r: int) -> int:
 
 
 def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
-    """Relaxed amalgamation: merge a child supernode into its parent when
-    the resulting explicit-zero fraction stays below ``relax_frac`` (always
-    for tiny children).  Contracting assembly-tree edges is structurally
-    safe: a child's update rows are a subset of its ancestors' columns."""
+    """Relaxed amalgamation (CHOLMOD-style): merge a child supernode into
+    its parent when the cumulative explicit-zero fraction of the merged
+    panel stays below a size-dependent threshold — small supernodes merge
+    readily (per-front dispatch overhead dominates them on TPU), large
+    ones only when nearly lossless.  Contracting assembly-tree edges is
+    structurally safe: a child's update rows are a subset of its
+    ancestors' columns."""
+    # true (pre-fill) panel cells per node, tracked through merges
+    nz = {
+        i: float(_panel_cells(nd.cols.size, nd.cols.size + nd.rows.size))
+        for i, nd in enumerate(nodes)
+    }
+
+    def threshold(c_m: int) -> float:
+        # TPU-tuned: sequential tree depth costs far more than the extra
+        # (MXU-cheap) flops of explicit zeros, so merge much more readily
+        # than CPU-tuned (CHOLMOD) settings would
+        if c_m <= 32:
+            return 1.0
+        if c_m <= 128:
+            return 0.8
+        if c_m <= 256:
+            return 0.5
+        return relax_frac
+
     for s in _postorder(nodes):
         nd = nodes[s]
         if not nd.alive:
@@ -226,21 +247,17 @@ def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
         if p < 0:
             continue
         pn = nodes[p]
-        c1, c2 = nd.cols.size, pn.cols.size
-        if c1 + c2 > max_cols:
+        c_m = nd.cols.size + pn.cols.size
+        if c_m > max_cols:
             continue
         m_cols = np.union1d(nd.cols, pn.cols)
         m_rows = np.setdiff1d(
             np.union1d(nd.rows, pn.rows), m_cols, assume_unique=False
         )
         cells_m = _panel_cells(m_cols.size, m_cols.size + m_rows.size)
-        cells_old = _panel_cells(c1, c1 + nd.rows.size) + _panel_cells(
-            c2, c2 + pn.rows.size
-        )
-        fill = 1.0 - cells_old / max(cells_m, 1)
-        tiny = c1 <= 3 and nd.rows.size <= 2 * (c2 + pn.rows.size)
-        if fill <= relax_frac or (tiny and fill <= 0.6):
-            # absorb child into parent
+        nz_m = nz[s] + nz[p]
+        zfrac = 1.0 - nz_m / max(cells_m, 1)
+        if zfrac <= threshold(c_m):
             pn.cols = m_cols
             pn.rows = m_rows
             pn.children.remove(s)
@@ -248,6 +265,7 @@ def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
                 nodes[c].parent = p
             pn.children.extend(nd.children)
             nd.alive = False
+            nz[p] = nz_m
 
 
 # --------------------------------------------------------------------------
@@ -306,8 +324,8 @@ def analyze(
     K_lower: sp.csc_matrix,
     dsigns: np.ndarray,
     ordering: str = "auto",
-    max_supernode_cols: int = 256,
-    relax_frac: float = 0.25,
+    max_supernode_cols: int = 1024,
+    relax_frac: float = 0.35,
 ) -> MFPlan:
     """Full symbolic analysis of a quasidefinite matrix given by its lower
     triangle (pattern only; ``K_lower.data`` may be anything).
