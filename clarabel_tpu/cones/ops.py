@@ -622,3 +622,149 @@ def rectify_equilibration(layout: ConeLayout, e):
     mean = sums / jnp.maximum(counts, 1.0)
     delta = jnp.where(layout.rectify_mask, mean[seg] / e, 1.0)
     return delta, True
+
+
+# =================================================================
+# sparse Hs: lower-triangle block coordinates + values
+# =================================================================
+#
+# The sparse KKT engine needs the block-diagonal Hs as a flat vector of
+# lower-triangle entries in a canonical order (the TPU-native analog of the
+# reference's per-cone Hsblocks maps; reference: src/solver/core/kktsolvers/
+# direct/quasidef/datamaps.rs + per-cone ``get_Hs``).  ``hs_lower_coords``
+# runs on the host at setup and fixes the order; ``hs_lower_vals`` is the
+# jitted value producer in exactly that order.
+#
+# Canonical order: [ NN diag | SOC cone-major tril | exp cone-major 3x3
+# tril | pow ditto | genpow cone-major tril | PSD bucket/cone-major tril ].
+# Zero cones contribute no Hs entries (their K diagonal comes from the
+# separate diagonal group of the sparse pattern).
+
+
+def hs_lower_coords(layout: ConeLayout):
+    """Host-side: global (rows, cols) in [0, m) of every Hs lower-triangle
+    entry, row >= col, in the canonical order of :func:`hs_lower_vals`."""
+    rows, cols = [], []
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        i = np.arange(sl.start, sl.stop, dtype=np.int64)
+        rows.append(i)
+        cols.append(i)
+
+    if layout.num_soc:
+        off = layout.slice_of(api.SOC).start
+        pos = 0
+        for d in layout.soc_dims:
+            ti, tj = np.tril_indices(d)
+            rows.append(off + pos + ti)
+            cols.append(off + pos + tj)
+            pos += d
+
+    for kind, count in ((api.EXP, layout.num_exp), (api.POW, layout.num_pow)):
+        if count:
+            off = layout.slice_of(kind).start
+            ti, tj = np.tril_indices(3)
+            for k in range(count):
+                rows.append(off + 3 * k + ti)
+                cols.append(off + 3 * k + tj)
+
+    if layout.num_genpow:
+        off = layout.slice_of(api.GENPOW).start
+        pos = 0
+        for c in layout.genpow_cones:
+            w = c.nvars
+            ti, tj = np.tril_indices(w)
+            rows.append(off + pos + ti)
+            cols.append(off + pos + tj)
+            pos += w
+
+    if layout.num_psd:
+        off = layout.slice_of(api.PSD).start
+        for b in layout.psd_buckets:
+            ti, tj = np.tril_indices(b.tri)
+            for ki in range(b.count):
+                rows.append(off + b.gather[ki, ti])
+                cols.append(off + b.gather[ki, tj])
+
+    if not rows:
+        z = np.zeros(0, np.int64)
+        return z, z
+    return (
+        np.concatenate(rows).astype(np.int64),
+        np.concatenate(cols).astype(np.int64),
+    )
+
+
+def hs_lower_vals(layout: ConeLayout, state, dtype):
+    """Device-side: Hs lower-triangle entry values in the canonical order
+    of :func:`hs_lower_coords`.  All gather indices are static NumPy."""
+    parts = []
+
+    if layout.n_nn:
+        parts.append(state["nn_w"] ** 2)
+
+    if layout.num_soc:
+        # dense form Hs = eta^2 (2wwT - J) per cone (socone.rs:227-245);
+        # entry (i, j): 2 u_i u_j + [i == j] * (head ? -eta^2 : +eta^2)
+        gi_l, gj_l = [], []
+        pos = 0
+        for d in layout.soc_dims:
+            ti, tj = np.tril_indices(d)
+            gi_l.append(pos + ti)
+            gj_l.append(pos + tj)
+            pos += d
+        gi = np.concatenate(gi_l)
+        gj = np.concatenate(gj_l)
+        seg = layout.soc_seg[gi]
+        w, eta = state["soc_w"], state["soc_eta"]
+        u = eta[layout.soc_seg] * w
+        eta2 = (eta**2)[seg]
+        diag_term = jnp.where(
+            jnp.asarray(layout.soc_head_mask[gi]), -eta2, eta2
+        )
+        vals = 2.0 * u[gi] * u[gj] + jnp.asarray(gi == gj) * diag_term
+        parts.append(vals)
+
+    for key, count in (("exp_hs", layout.num_exp), ("pow_hs", layout.num_pow)):
+        if count:
+            ti, tj = np.tril_indices(3)
+            parts.append(state[key][:, ti, tj].reshape(-1))
+
+    if layout.num_genpow:
+        # Hs = mu (D + pp' - qq' - rr') (genpowcone.rs:360-401)
+        gi_l, gj_l = [], []
+        pos = 0
+        for c in layout.genpow_cones:
+            ti, tj = np.tril_indices(c.nvars)
+            gi_l.append(pos + ti)
+            gj_l.append(pos + tj)
+            pos += c.nvars
+        gi = np.concatenate(gi_l)
+        gj = np.concatenate(gj_l)
+        p, qv, rv = state["gp_p"], state["gp_q"], state["gp_r"]
+        seg = layout.genpow_seg
+        diagvec = jnp.where(
+            jnp.asarray(layout.genpow_is_q), state["gp_d2"][seg], state["gp_d1"]
+        )
+        vals = (
+            p[gi] * p[gj]
+            - qv[gi] * qv[gj]
+            - rv[gi] * rv[gj]
+            + jnp.asarray(gi == gj) * diagvec[gi]
+        )
+        parts.append(state["gp_mu"] * vals)
+
+    if layout.num_psd:
+        from . import psd as _psd
+
+        for bi, b in enumerate(layout.psd_buckets):
+            R = state[f"psd{bi}_R"]
+            A = jnp.einsum("kij,klj->kil", R, R)  # R R^T
+            blocks = _psd._skron(b, A)  # [k, tri, tri]
+            ti, tj = np.tril_indices(b.tri)
+            parts.append(blocks[:, ti, tj].reshape(-1))
+
+    if not parts:
+        return jnp.zeros(0, dtype)
+    return jnp.concatenate([jnp.asarray(p, dtype) for p in parts])

@@ -97,3 +97,85 @@ def equilibrate(layout: ConeLayout, settings, P, q, A, b, triu_mask):
         e = e * delta
 
     return P, q, A, b, d, e, c
+
+
+def equilibrate_sparse(layout: ConeLayout, settings, P, q, A, b):
+    """Ruiz equilibration over COO sparse data (same math as
+    :func:`equilibrate`; problemdata.rs:229-312).  ``P`` is the FULL
+    symmetric matrix as a :class:`~clarabel_tpu.algebra.coo.COOMat`;
+    ``A`` the cone-permuted constraint matrix.  Norms are segment
+    reductions over the triplet sets instead of dense axis reductions."""
+    n, m = q.shape[0], b.shape[0]
+    dtype = q.dtype
+
+    d = jnp.ones(n, dtype)
+    e = jnp.ones(m, dtype)
+    c = jnp.asarray(1.0, dtype)
+
+    if not settings.equilibrate_enable:
+        return P, q, A, b, d, e, c
+
+    scale_min = settings.equilibrate_min_scaling
+    scale_max = settings.equilibrate_max_scaling
+
+    Pr, Pc = P.rows, P.cols
+    Ar, Ac = A.rows, A.cols
+    triu_mask = Pr <= Pc  # triu-stored-P entries for cost normalization
+
+    def _colmax(vals, idx, num):
+        mx = jax.ops.segment_max(vals, idx, num_segments=num)
+        return jnp.maximum(mx, 0.0)  # empty segments -> 0
+
+    def body(_, carry):
+        Pv, q, Av, b, d, e, c = carry
+
+        dwork = jnp.maximum(
+            _colmax(jnp.abs(Pv), Pc, n), _colmax(jnp.abs(Av), Ac, n)
+        )
+        ework = _colmax(jnp.abs(Av), Ar, m)
+
+        dwork = jnp.where(dwork == 0, 1.0, dwork)
+        ework = jnp.where(ework == 0, 1.0, ework)
+
+        dwork = 1.0 / jnp.sqrt(dwork)
+        ework = 1.0 / jnp.sqrt(ework)
+
+        dwork = jnp.clip(dwork, scale_min / d, scale_max / d)
+        ework = jnp.clip(ework, scale_min / e, scale_max / e)
+
+        Pv = Pv * dwork[Pr] * dwork[Pc]
+        Av = Av * ework[Ar] * dwork[Ac]
+        q = q * dwork
+        b = b * ework
+        d = d * dwork
+        e = e * ework
+
+        col_norm_P = _colmax(jnp.where(triu_mask, jnp.abs(Pv), 0.0), Pc, n)
+        mean_col_norm_P = (
+            jnp.mean(col_norm_P) if n > 0 else jnp.asarray(0.0, dtype)
+        )
+        inf_norm_q = jnp.max(jnp.abs(q), initial=0.0)
+
+        do_cost = (mean_col_norm_P != 0) & (inf_norm_q != 0)
+        scale_cost = jnp.maximum(inf_norm_q, mean_col_norm_P)
+        ctmp = jnp.where(do_cost, 1.0 / jnp.where(do_cost, scale_cost, 1.0), 1.0)
+        ctmp = jnp.where(do_cost, jnp.clip(ctmp, scale_min / c, scale_max / c), 1.0)
+
+        Pv = Pv * ctmp
+        q = q * ctmp
+        c = c * ctmp
+
+        return Pv, q, Av, b, d, e, c
+
+    Pv, q, Av, b, d, e, c = jax.lax.fori_loop(
+        0, settings.equilibrate_max_iter, body,
+        (P.data, q, A.data, b, d, e, c),
+    )
+
+    delta, changed = cone_ops.rectify_equilibration(layout, e)
+    if changed:
+        Av = Av * delta[Ar]
+        b = b * delta
+        e = e * delta
+
+    return P.with_data(Pv), q, A.with_data(Av), b, d, e, c

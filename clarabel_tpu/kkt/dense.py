@@ -151,6 +151,11 @@ def _raw_solve(factors, rhs):
     kind, data = factors
     if kind == "lu":
         return jsl.lu_solve(data, rhs)
+    if kind == "mf":
+        from . import sparse as kkt_sparse
+
+        ctx, sdata, mff = data
+        return kkt_sparse.solve(ctx, sdata, mff, rhs)
     if kind == "pldl":
         from . import pallas_ldl
 

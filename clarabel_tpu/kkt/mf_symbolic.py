@@ -39,19 +39,86 @@ import scipy.sparse as sp
 # ordering
 # --------------------------------------------------------------------------
 
+_ND_MIN_DIM = 4096  # below this MMD's lower fill beats ND's parallelism
+
+
+def nested_dissection_ordering(
+    pattern: sp.csc_matrix, leaf: int = 256
+) -> np.ndarray:
+    """Nested-dissection ordering via recursive RCM-line bisection.
+
+    Minimum-degree orderings produce chain-shaped elimination trees on
+    banded/mesh patterns — a fully *sequential* multifrontal schedule.
+    Nested dissection instead yields an O(log n)-depth assembly tree whose
+    levels are wide batches of independent fronts: exactly the shape the
+    levelized TPU execution needs (and the separator fronts at the top are
+    fat MXU matmuls).  The bisector: lay the graph out with reverse
+    Cuthill-McKee, split the line in half, and take the left-half vertices
+    adjacent to the right half as the separator (one-way dissection in the
+    George/Liu sense).
+    """
+    n = pattern.shape[0]
+    adj = (pattern + pattern.T).tocsr()
+    try:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        rcm = np.asarray(
+            reverse_cuthill_mckee(adj, symmetric_mode=True), np.int64
+        )
+    except Exception:
+        rcm = np.arange(n, dtype=np.int64)
+
+    pos = np.full(n, -1, np.int64)
+    out: List[np.ndarray] = []
+    stack = [(rcm, False)]
+    # explicit stack: (vertex set in line order, emit_now)
+    while stack:
+        vs, emit = stack.pop()
+        if emit or vs.size <= leaf:
+            out.append(vs)
+            continue
+        mid = vs.size // 2
+        pos[vs] = np.arange(vs.size)
+        L = vs[:mid]
+        subL = adj[L]  # csr row selection
+        rowmax = np.full(L.size, -1, np.int64)
+        if subL.nnz:
+            nbr_pos = pos[subL.indices]  # -1 for vertices outside vs
+            counts = np.diff(subL.indptr)
+            nz = counts > 0
+            rowmax[nz] = np.maximum.reduceat(nbr_pos, subL.indptr[:-1][nz])
+        pos[vs] = -1  # restore
+        sep = rowmax >= mid
+        S_ids, L_ids, R_ids = L[sep], L[~sep], vs[mid:]
+        # elimination order: left part, right part, separator last
+        stack.append((S_ids, True))
+        if R_ids.size:
+            stack.append((R_ids, False))
+        if L_ids.size:
+            stack.append((L_ids, False))
+    return np.concatenate(out) if out else np.arange(n, dtype=np.int64)
+
+
 def fill_reducing_ordering(K_lower: sp.csc_matrix, method: str = "auto") -> np.ndarray:
     """Symmetric fill-reducing ordering of the pattern of K (given as its
     lower triangle).  Returns perm with perm[k] = original index of the
     k-th pivot.
 
-    Primary: SuperLU's MMD_AT_PLUS_A in symmetric mode (the same
-    minimum-degree family as the reference's AMD; qdldl.rs:905-922).
-    Fallbacks: reverse Cuthill-McKee, then natural order.
+    "auto": nested dissection for large patterns (log-depth parallel
+    assembly trees; see :func:`nested_dissection_ordering`), SuperLU's
+    MMD_AT_PLUS_A in symmetric mode (the same minimum-degree family as the
+    reference's AMD; qdldl.rs:905-922) for small ones.  Fallbacks:
+    reverse Cuthill-McKee, then natural order.
     """
     n = K_lower.shape[0]
     if n == 0 or method == "natural":
         return np.arange(n, dtype=np.int64)
     pattern = (K_lower + K_lower.T).tocsc()
+    if method == "nd" or (method == "auto" and n >= _ND_MIN_DIM):
+        try:
+            return nested_dissection_ordering(pattern)
+        except Exception:
+            pass
     if method in ("auto", "mmd"):
         try:
             import scipy.sparse.linalg as spl
@@ -337,46 +404,60 @@ def analyze(
     K_lower = K_lower.tocsc()
     K_lower.sort_indices()
 
-    perm = fill_reducing_ordering(K_lower, ordering)
-    inv = np.argsort(perm).astype(np.int64)
+    def _prepare(method):
+        perm = fill_reducing_ordering(K_lower, method)
+        inv = np.argsort(perm).astype(np.int64)
 
-    # permuted lower pattern, with data = position into the caller's
-    # canonical K_lower nonzero order
-    coo = K_lower.tocoo()
-    pr, pc = inv[coo.row], inv[coo.col]
-    lo = np.minimum(pr, pc)
-    hi = np.maximum(pr, pc)
-    Kp = sp.csc_matrix(
-        (np.arange(coo.nnz, dtype=np.int64), (hi, lo)), shape=(N, N)
-    )
-    Kp.sort_indices()
-    kperm_map = Kp.data.astype(np.int64)  # Kvals_perm = Kvals[kperm_map]
+        # permuted lower pattern, with data = position into the caller's
+        # canonical K_lower nonzero order
+        coo = K_lower.tocoo()
+        pr, pc = inv[coo.row], inv[coo.col]
+        lo = np.minimum(pr, pc)
+        hi = np.maximum(pr, pc)
+        Kp = sp.csc_matrix(
+            (np.arange(coo.nnz, dtype=np.int64), (hi, lo)), shape=(N, N)
+        )
+        Kp.sort_indices()
+        kperm_map = Kp.data.astype(np.int64)  # Kvals_perm = Kvals[kperm_map]
 
-    # strictly-lower pattern for the symbolic pass
-    strict = sp.csc_matrix(Kp, copy=True)
-    mask = strict.indices != np.repeat(
-        np.arange(N), np.diff(strict.indptr)
-    )
-    s_idx = strict.indices[mask].astype(np.int64)
-    s_cnt = np.zeros(N, np.int64)
-    np.add.at(s_cnt, np.repeat(np.arange(N), np.diff(strict.indptr))[mask], 1)
-    s_ptr = np.zeros(N + 1, np.int64)
-    np.cumsum(s_cnt, out=s_ptr[1:])
+        # strictly-lower pattern for the symbolic pass
+        strict = sp.csc_matrix(Kp, copy=True)
+        mask = strict.indices != np.repeat(
+            np.arange(N), np.diff(strict.indptr)
+        )
+        s_idx = strict.indices[mask].astype(np.int64)
+        s_cnt = np.zeros(N, np.int64)
+        np.add.at(s_cnt, np.repeat(np.arange(N), np.diff(strict.indptr))[mask], 1)
+        s_ptr = np.zeros(N + 1, np.int64)
+        np.cumsum(s_cnt, out=s_ptr[1:])
 
-    parent, L_ptr, L_idx = symbolic_factor_csc(N, s_ptr, s_idx)
+        parent, L_ptr, L_idx = symbolic_factor_csc(N, s_ptr, s_idx)
 
-    nodes = _fundamental_supernodes(N, parent, L_ptr, L_idx)
-    _amalgamate(nodes, max_supernode_cols, relax_frac)
+        nodes = _fundamental_supernodes(N, parent, L_ptr, L_idx)
+        _amalgamate(nodes, max_supernode_cols, relax_frac)
 
-    live = [i for i, nd in enumerate(nodes) if nd.alive]
-    # levelize
-    level_of: Dict[int, int] = {}
-    for s in _postorder(nodes):
-        if not nodes[s].alive:
-            continue
-        kids = [level_of[c] for c in nodes[s].children]
-        level_of[s] = (max(kids) + 1) if kids else 0
-    n_levels = (max(level_of.values()) + 1) if live else 0
+        live = [i for i, nd in enumerate(nodes) if nd.alive]
+        # levelize
+        level_of: Dict[int, int] = {}
+        for s in _postorder(nodes):
+            if not nodes[s].alive:
+                continue
+            kids = [level_of[c] for c in nodes[s].children]
+            level_of[s] = (max(kids) + 1) if kids else 0
+        n_levels = (max(level_of.values()) + 1) if live else 0
+        return perm, inv, Kp, kperm_map, nodes, live, level_of, n_levels
+
+    prep = _prepare(ordering)
+    # a deep schedule means a near-sequential (chain) elimination tree:
+    # both the traced program size and the device critical path scale with
+    # depth, so retry with nested dissection when minimum-degree produced
+    # a chain (banded/path-structured patterns do this systematically)
+    _MAX_AUTO_LEVELS = 32
+    if ordering == "auto" and prep[-1] > _MAX_AUTO_LEVELS and N > 512:
+        prep_nd = _prepare("nd")
+        if prep_nd[-1] < prep[-1]:
+            prep = prep_nd
+    perm, inv, Kp, kperm_map, nodes, live, level_of, n_levels = prep
 
     dsigns_perm = np.asarray(dsigns, np.float64)[perm]
 

@@ -399,13 +399,29 @@ def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
     return method
 
 
-def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state):
+def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
+                 sparse_kkt=None):
     """Build KKT factors for the current scaling state.
 
     Returns (factors, K_true, ok) where K_true is a dense matrix or matvec
     closure for iterative refinement.  The structured diagonal-Schur path
     never materializes the KKT matrix at all.
+
+    With ``sparse_kkt = (ctx, data)`` the KKT is never densified: Hs block
+    values scatter into the canonical lower-triangle nonzero vector and the
+    multifrontal engine refactors it (reference: qdldl.rs:468-700,
+    kkt_assembly.rs:20-183).
     """
+    if sparse_kkt is not None:
+        from .kkt import sparse as kkt_sparse
+
+        ctx, data = sparse_kkt
+        hs_vals = cone_ops.hs_lower_vals(layout, scaling_state, dtype)
+        Kvals, Kreg = kkt_sparse.assemble(ctx, data, P, A, hs_vals, settings)
+        mff, ok = kkt_sparse.factor(ctx, data, Kreg, settings)
+        K_true = lambda v: kkt_sparse.sym_matvec(ctx, data, Kvals, v)
+        return ("mf", (ctx, data, mff)), K_true, ok
+
     method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
 
     # NB: a fully structured (assembly-free) variant exists in
@@ -459,7 +475,7 @@ def _make_factor_fn(layout, settings, dtype, n, use_pallas=False, method=None):
 
 
 def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
-                  use_pallas=False):
+                  use_pallas=False, sparse_kkt=None):
     """Initial iterate.  reference: solver.rs:525-541, kktsystem.rs:211-259,
     variables.rs:164-178, 231-256."""
     n, m = q.shape[0], b.shape[0]
@@ -472,7 +488,8 @@ def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
     # symmetric: solve the KKT system with identity scalings
     state0 = cone_ops.set_identity_scaling(layout, dtype)
     factors, K, _ = _kkt_prepare(
-        layout, settings, dtype, n, use_pallas, P, A, state0
+        layout, settings, dtype, n, use_pallas, P, A, state0,
+        sparse_kkt=sparse_kkt,
     )
 
     if p_is_zero:
@@ -519,7 +536,7 @@ def _shift_to_cone_interior(layout, v, pd):
 
 
 def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
-            callback=None, use_pallas=False, warm_start=None):
+            callback=None, use_pallas=False, warm_start=None, sparse_kkt=None):
     """The main loop.  Returns the final SolverState.
 
     ``callback``, when given, is a host function (dict of scalars) -> bool
@@ -545,7 +562,8 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
         kappa = jnp.asarray(1.0, dtype)
     else:
         x, s, z, tau, kappa = default_start(
-            layout, settings, P, q, A, b, p_is_zero, dtype, use_pallas
+            layout, settings, P, q, A, b, p_is_zero, dtype, use_pallas,
+            sparse_kkt=sparse_kkt,
         )
 
     f = lambda v: jnp.asarray(v, dtype)
@@ -666,7 +684,8 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
 
             # --- KKT update + constant-term solve (kktsystem.rs:108-125)
             factors, K, ok_f = _kkt_prepare(
-                layout, settings, dtype, n, use_pallas, P, A, scaling_state
+                layout, settings, dtype, n, use_pallas, P, A, scaling_state,
+                sparse_kkt=sparse_kkt,
             )
             sol_c, ok_c = kkt_dense.solve_refined(
                 factors, K, jnp.concatenate([-q, b]), settings

@@ -125,7 +125,8 @@ class DefaultSettings:
         if not self.direct_kkt_solver:
             raise SettingsError("only direct KKT solvers are supported")
         if self.direct_solve_method not in (
-            "auto", "lu", "schur", "schur_diag", "pallas", "dense", "qdldl", "faer"
+            "auto", "lu", "schur", "schur_diag", "pallas", "dense", "qdldl",
+            "faer", "multifrontal"
         ):
             raise SettingsError(
                 f"unknown direct_solve_method {self.direct_solve_method!r}"

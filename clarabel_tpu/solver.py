@@ -112,6 +112,25 @@ def _to_dense(M, name: str):
     return M, csc
 
 
+def _to_csc(M, name: str):
+    """Accept scipy.sparse / array-likes; return a sorted csc_matrix
+    without ever densifying (the sparse-path counterpart of
+    :func:`_to_dense`)."""
+    import scipy.sparse as sp
+
+    if M is None:
+        raise ValueError(f"{name} may not be None")
+    if hasattr(M, "tocsc"):
+        csc = M.tocsc().copy()
+    else:
+        M = np.asarray(M, np.float64)
+        if M.ndim != 2:
+            raise ValueError(f"{name} must be 2-dimensional")
+        csc = sp.csc_matrix(M)
+    csc.sort_indices()
+    return csc.astype(np.float64)
+
+
 def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
     """Use only the upper triangle of P, treated as symmetric.
 
@@ -124,7 +143,7 @@ def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
 def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
                      n: int, p_is_zero: bool, dtype_name: str,
                      callback=None, use_pallas: bool = False,
-                     warm: bool = False):
+                     warm: bool = False, sparse_ctx=None):
     """The un-jitted single-problem solve function (P, q, A, b) -> outputs.
 
     Pure and fixed-shape: suitable for jit, vmap (problem batches) and
@@ -132,20 +151,30 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
     per-iteration termination callbacks on the single-problem path.
     With ``warm=True`` the function takes an additional (x0, s0, z0)
     initial iterate in the user frame.
+
+    With ``sparse_ctx`` (a :class:`~clarabel_tpu.kkt.sparse.SparseKKT`) the
+    function takes ``P``/``A`` as COOMat plus an extra leading
+    ``skkt_data`` dict argument (index arrays on device), and the KKT path
+    runs the sparse multifrontal engine — nothing is ever densified.
     """
     dtype = jnp.dtype(dtype_name)
     # NumPy constant: embedded at trace time without touching any device
-    triu_mask = np.triu(np.ones((n, n), dtype))
+    triu_mask = None if sparse_ctx is not None else np.triu(np.ones((n, n), dtype))
 
-    def _solve_core_inner(P, q, A, b, ws=None):
+    def _solve_core_inner(P, q, A, b, ws=None, skkt_data=None):
         # unscaled inf-norms of the linear terms, cached before
         # equilibration (problemdata.rs:147-148)
         normq = jnp.max(jnp.abs(q), initial=0.0)
         normb = jnp.max(jnp.abs(b), initial=0.0)
 
-        P, q, A, b, d, e, c_scale = equilibration.equilibrate(
-            layout, settings, P, q, A, b, triu_mask
-        )
+        if sparse_ctx is not None:
+            P, q, A, b, d, e, c_scale = equilibration.equilibrate_sparse(
+                layout, settings, P, q, A, b
+            )
+        else:
+            P, q, A, b, d, e, c_scale = equilibration.equilibrate(
+                layout, settings, P, q, A, b, triu_mask
+            )
         dinv, einv, cinv = 1.0 / d, 1.0 / e, 1.0 / c_scale
         equil = (d, e, dinv, einv, cinv)
 
@@ -158,6 +187,9 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
         st = run_ipm(
             layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
             callback=callback, use_pallas=use_pallas, warm_start=ws,
+            sparse_kkt=(
+                (sparse_ctx, skkt_data) if sparse_ctx is not None else None
+            ),
         )
 
         # ---- solution post-processing (solution.rs:68-111,
@@ -205,15 +237,26 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             "history": st.history,
         }
 
-    if warm:
+    # IPM residuals and refinement need true f32 accumulation; the
+    # TPU's default bf16 matmul passes destroy the achievable
+    # tolerances, so pin full precision for everything traced here.
+    if sparse_ctx is not None:
+        if warm:
+            def solve_core(P, q, A, b, skkt_data, x0, s0, z0):
+                with jax.default_matmul_precision("highest"):
+                    return _solve_core_inner(
+                        P, q, A, b, ws=(x0, s0, z0), skkt_data=skkt_data
+                    )
+        else:
+            def solve_core(P, q, A, b, skkt_data):
+                with jax.default_matmul_precision("highest"):
+                    return _solve_core_inner(P, q, A, b, skkt_data=skkt_data)
+    elif warm:
         def solve_core(P, q, A, b, x0, s0, z0):
             with jax.default_matmul_precision("highest"):
                 return _solve_core_inner(P, q, A, b, ws=(x0, s0, z0))
     else:
         def solve_core(P, q, A, b):
-            # IPM residuals and refinement need true f32 accumulation; the
-            # TPU's default bf16 matmul passes destroy the achievable
-            # tolerances, so pin full precision for everything traced here.
             with jax.default_matmul_precision("highest"):
                 return _solve_core_inner(P, q, A, b)
 
@@ -240,6 +283,33 @@ def _default_dtype() -> str:
     return "float64" if jax.config.jax_enable_x64 else "float32"
 
 
+# auto-selection gate for the sparse multifrontal KKT path: beyond this
+# size a dense (n+m)^2 KKT stops being the right default
+_SPARSE_AUTO_MIN_DIM = 3000
+_SPARSE_AUTO_MAX_DENSITY = 0.02
+
+
+def _wants_sparse(settings, P_csc, A_csc, n, m, cones) -> bool:
+    """Decide whether to route this problem to the sparse multifrontal
+    KKT engine (the reference's auto backend picks between simplicial and
+    supernodal sparse solvers, ldlsolvers/auto.rs:47-88; here the choice
+    is dense-batched vs sparse-multifrontal, which the problem size and
+    density determine)."""
+    method = settings.direct_solve_method
+    if method == "multifrontal":
+        return True
+    if method != "auto":
+        return False
+    N = n + m
+    if N < _SPARSE_AUTO_MIN_DIM:
+        return False
+    # chordal decomposition of PSD cones is a dense-path feature for now
+    if any(c.kind == api.PSD for c in cones):
+        return False
+    nnz = 2 * P_csc.nnz + A_csc.nnz + N
+    return nnz < _SPARSE_AUTO_MAX_DENSITY * float(N) * float(N)
+
+
 class DefaultSolver:
     """Interior-point solver for convex conic programs with quadratic
     objectives (reference: DefaultSolver, default/solver.rs:19-126)."""
@@ -262,23 +332,18 @@ class DefaultSolver:
         with self.timers.scope("setup"):
             q = np.asarray(q, np.float64).ravel()
             b = np.asarray(b, np.float64).ravel()
-            P, P_csc = _to_dense(P, "P")
-            A, A_csc = _to_dense(A, "A")
-            # retain triu CSC structure of P for nzval-indexed updates
-            # (the internal P is the triu part treated as symmetric)
             import scipy.sparse as sp
 
-            self._P_csc = sp.triu(P_csc, format="csc")
-            self._P_csc.sort_indices()
-            self._A_csc = A_csc
+            P_csc = _to_csc(P, "P")
+            A_csc = _to_csc(A, "A")
 
             # dimension checks (default/solver.rs:129-159)
             n = q.shape[0]
             m = b.shape[0]
-            if P.shape != (n, n):
-                raise ValueError(f"P must be {n}x{n}, got {P.shape}")
-            if A.shape != (m, n):
-                raise ValueError(f"A must be {m}x{n}, got {A.shape}")
+            if P_csc.shape != (n, n):
+                raise ValueError(f"P must be {n}x{n}, got {P_csc.shape}")
+            if A_csc.shape != (m, n):
+                raise ValueError(f"A must be {m}x{n}, got {A_csc.shape}")
             cones = tuple(cones)
             m_cones = sum(c.nvars for c in cones)
             if m_cones != m:
@@ -286,79 +351,22 @@ class DefaultSolver:
                     f"cone dimensions sum to {m_cones}, but A/b have {m} rows"
                 )
 
-            P = _symmetrize_triu(P)
+            # retain triu CSC structure of P for nzval-indexed updates
+            # (the internal P is the triu part treated as symmetric)
+            self._P_csc = sp.triu(P_csc, format="csc")
+            self._P_csc.sort_indices()
+            self._A_csc = A_csc
 
-            with self.timers.scope("presolve"):
-                # cone collapsing (supportedcone.rs:105-161)
-                cones_int = api.collapse_cones(cones)
-
-                # presolve reduction (problemdata.rs:85-90)
-                self._presolver = presolve.try_presolve(A, b, cones_int, self.settings)
-                if self._presolver is not None:
-                    A, b, cones_int = presolve.apply_presolve(
-                        self._presolver, A, b, cones_int
-                    )
-
-                # cap b at the infinity bound (problemdata.rs:126-131)
-                b = np.minimum(b, get_infinity())
-
-                # user-frame copies (post-presolve, pre-chordal) for data
-                # updating and JSON round-trips
-                self._cones_user = cones
-                self._cones_int = cones_int
-                self._np_P = P
-                self._np_q = q.copy()
-                self._np_A = A.copy()
-                self._np_b = b.copy()
-
-                # chordal decomposition of large sparse PSD cones
-                # (problemdata.rs:94-112)
-                from .chordal import try_chordal_info
-
-                self._chordal = try_chordal_info(A, b, cones_int, self.settings)
-                if self._chordal is not None:
-                    P, q, A, b, cones_int = self._chordal.decomp_augment(
-                        P, q, A, b, self.settings
-                    )
-
-                self._layout = ConeLayout(cones_int)
-
-                # permute rows so cone groups are contiguous
-                perm = self._layout.perm
-                A = A[perm, :]
-                b = b[perm]
-
-            self.n = n  # original variable count
-            self.m_full = m  # original constraint count
-            self.m = self._layout.m  # internal (reduced / augmented) count
-            self._n_int = P.shape[0]  # internal variable count (chordal adds)
-            self._dtype = dtype or _default_dtype()
-            self._p_is_zero = not np.any(P)
-
-            # f64 factorizations are not supported by the TPU backend; route
-            # full-precision solves to the host CPU and f32 solves to the
-            # accelerator.  jit follows the committed device of the inputs.
-            if device is None:
-                if self._dtype == "float64":
-                    device = jax.devices("cpu")[0]
-                else:
-                    device = jax.devices()[0]
-            self._device = device
-
-            # NB: stage through NumPy (not jnp) so nothing round-trips via
-            # the default accelerator device
-            put = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
-            self._P = put(P)
-            self._q = put(q)
-            self._A = put(A)
-            self._b = put(b)
-
-            self._use_pallas = _is_tpu_platform(device)
-
-            with self.timers.scope("kktinit"):
-                self._solve_fn = _build_solve_fn(
-                    self._layout, self.settings, self._n_int,
-                    self._p_is_zero, self._dtype, self._use_pallas,
+            # large sparse problems (or an explicit request) route to the
+            # sparse multifrontal KKT engine and are never densified;
+            # everything else uses the batched/MXU dense backends
+            self._sparse = _wants_sparse(self.settings, P_csc, A_csc, n, m, cones)
+            if self._sparse:
+                self._setup_sparse(q, b, cones, dtype, device)
+            else:
+                self._setup_dense(
+                    _symmetrize_triu(P_csc.toarray()), A_csc.toarray(),
+                    q, b, cones, dtype, device,
                 )
 
         self.info = DefaultInfo()
@@ -367,6 +375,173 @@ class DefaultSolver:
         self._callback = None
         self._print_stream = sys.stdout
         self._print_buffer = None
+
+    # ------------------------------------------------------------------
+    def _setup_dense(self, P, A, q, b, cones, dtype, device):
+        n, m = q.shape[0], b.shape[0]
+        with self.timers.scope("presolve"):
+            # cone collapsing (supportedcone.rs:105-161)
+            cones_int = api.collapse_cones(cones)
+
+            # presolve reduction (problemdata.rs:85-90)
+            self._presolver = presolve.try_presolve(A, b, cones_int, self.settings)
+            if self._presolver is not None:
+                A, b, cones_int = presolve.apply_presolve(
+                    self._presolver, A, b, cones_int
+                )
+
+            # cap b at the infinity bound (problemdata.rs:126-131)
+            b = np.minimum(b, get_infinity())
+
+            # user-frame copies (post-presolve, pre-chordal) for data
+            # updating and JSON round-trips
+            self._cones_user = cones
+            self._cones_int = cones_int
+            self._np_P = P
+            self._np_q = q.copy()
+            self._np_A = A.copy()
+            self._np_b = b.copy()
+
+            # chordal decomposition of large sparse PSD cones
+            # (problemdata.rs:94-112)
+            from .chordal import try_chordal_info
+
+            self._chordal = try_chordal_info(A, b, cones_int, self.settings)
+            if self._chordal is not None:
+                P, q, A, b, cones_int = self._chordal.decomp_augment(
+                    P, q, A, b, self.settings
+                )
+
+            self._layout = ConeLayout(cones_int)
+
+            # permute rows so cone groups are contiguous
+            perm = self._layout.perm
+            A = A[perm, :]
+            b = b[perm]
+
+        self.n = n  # original variable count
+        self.m_full = m  # original constraint count
+        self.m = self._layout.m  # internal (reduced / augmented) count
+        self._n_int = P.shape[0]  # internal variable count (chordal adds)
+        self._dtype = dtype or _default_dtype()
+        self._p_is_zero = not np.any(P)
+
+        # f64 factorizations are not supported by the TPU backend; route
+        # full-precision solves to the host CPU and f32 solves to the
+        # accelerator.  jit follows the committed device of the inputs.
+        if device is None:
+            if self._dtype == "float64":
+                device = jax.devices("cpu")[0]
+            else:
+                device = jax.devices()[0]
+        self._device = device
+
+        # NB: stage through NumPy (not jnp) so nothing round-trips via
+        # the default accelerator device
+        put = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
+        self._P = put(P)
+        self._q = put(q)
+        self._A = put(A)
+        self._b = put(b)
+
+        self._use_pallas = _is_tpu_platform(device)
+
+        with self.timers.scope("kktinit"):
+            self._solve_fn = _build_solve_fn(
+                self._layout, self.settings, self._n_int,
+                self._p_is_zero, self._dtype, self._use_pallas,
+            )
+
+    # ------------------------------------------------------------------
+    def _setup_sparse(self, q, b, cones, dtype, device):
+        """Sparse-path setup: scipy-sparse host pipeline + multifrontal
+        symbolic analysis; problem data stays in COO triplet form on
+        device (reference: same pipeline as DefaultSolver::new but with
+        the sparse KKT engine of kkt_assembly.rs/qdldl.rs behind it)."""
+        import scipy.sparse as sp
+
+        from .algebra.coo import COOMat
+        from .kkt import sparse as kkt_sparse
+
+        n, m = q.shape[0], b.shape[0]
+        with self.timers.scope("presolve"):
+            # cone collapsing (supportedcone.rs:105-161)
+            cones_int = api.collapse_cones(cones)
+
+            # presolve reduction (problemdata.rs:85-90); row selection
+            # stays sparse via CSR slicing
+            A_work = self._A_csc.tocsr()
+            self._presolver = presolve.try_presolve(
+                A_work, b, cones_int, self.settings
+            )
+            if self._presolver is not None:
+                A_work, b, cones_int = presolve.apply_presolve(
+                    self._presolver, A_work, b, cones_int
+                )
+
+            # cap b at the infinity bound (problemdata.rs:126-131)
+            b = np.minimum(b, get_infinity())
+
+            self._cones_user = cones
+            self._cones_int = cones_int
+            self._np_P = None  # matrices live in self._P_csc / self._A_csc
+            self._np_q = q.copy()
+            self._np_A = None
+            self._np_b = b.copy()
+
+            # chordal decomposition targets large PSD cones, which the
+            # auto heuristic keeps on the dense path; an explicit
+            # multifrontal request skips it
+            self._chordal = None
+
+            self._layout = ConeLayout(cones_int)
+            perm = self._layout.perm
+            A_perm = A_work[perm].tocoo()
+            b = b[perm]
+
+        self.n = n
+        self.m_full = m
+        self.m = self._layout.m
+        self._n_int = n
+        self._dtype = dtype or _default_dtype()
+
+        P_sym = (self._P_csc + sp.triu(self._P_csc, 1).T).tocoo()
+        self._p_is_zero = not (P_sym.nnz and np.any(P_sym.data))
+
+        if device is None:
+            if self._dtype == "float64":
+                device = jax.devices("cpu")[0]
+            else:
+                device = jax.devices()[0]
+        self._device = device
+        self._use_pallas = False
+
+        with self.timers.scope("kktinit"):
+            self._skkt = kkt_sparse.build(
+                self._layout, n,
+                P_sym.row.astype(np.int64), P_sym.col.astype(np.int64),
+                A_perm.row.astype(np.int64), A_perm.col.astype(np.int64),
+            )
+            self._skkt_data = self._skkt.device_data(self._dtype, device)
+
+            put = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
+            iput = lambda v: jax.device_put(np.asarray(v, np.int32), device)
+            self._P = COOMat(
+                put(P_sym.data), iput(P_sym.row), iput(P_sym.col), (n, n)
+            )
+            self._A = COOMat(
+                put(A_perm.data), iput(A_perm.row), iput(A_perm.col),
+                (self.m, n),
+            )
+            self._q = put(q)
+            self._b = put(b)
+
+            self._solve_fn = jax.jit(
+                build_solve_core(
+                    self._layout, self.settings, self._n_int,
+                    self._p_is_zero, self._dtype, sparse_ctx=self._skkt,
+                )
+            )
 
     # ------------------------------------------------------------------
     def solve(self, warm_start=None) -> DefaultSolution:
@@ -379,6 +554,10 @@ class DefaultSolver:
         with self.timers.scope("solve"):
             if warm_start is not None:
                 out = self._solve_warm(warm_start)
+            elif self._sparse:
+                out = self._solve_fn(
+                    self._P, self._q, self._A, self._b, self._skkt_data
+                )
             else:
                 out = self._solve_fn(self._P, self._q, self._A, self._b)
             out = jax.tree.map(np.asarray, jax.device_get(out))
@@ -477,7 +656,13 @@ class DefaultSolver:
                     self._p_is_zero, self._dtype,
                     callback=self._callback, use_pallas=self._use_pallas,
                     warm=True,
+                    sparse_ctx=self._skkt if self._sparse else None,
                 )
+            )
+        if self._sparse:
+            return self._warm_fn(
+                self._P, self._q, self._A, self._b, self._skkt_data,
+                put(x0), put(s0[perm]), put(z0[perm]),
             )
         return self._warm_fn(
             self._P, self._q, self._A, self._b,
@@ -532,14 +717,64 @@ class DefaultSolver:
         if symmetric:
             dense[cols, rows] = vals
 
+    @staticmethod
+    def _apply_csc_update(csc, data, name):
+        """Sparse-path update: write through the retained CSC structure
+        (the analog of the reference's AtoPAPt write-through,
+        qdldl.rs:142-149).  Structure must be identical."""
+        import scipy.sparse as sp
+
+        if hasattr(data, "tocsc") or (
+            isinstance(data, np.ndarray) and data.ndim == 2
+        ):
+            new = _to_csc(data, name)
+            if name == "P":
+                new = sp.triu(new, format="csc")
+                new.sort_indices()
+            if (
+                new.shape != csc.shape
+                or new.nnz != csc.nnz
+                or not np.array_equal(new.indices, csc.indices)
+                or not np.array_equal(new.indptr, csc.indptr)
+            ):
+                raise ValueError(
+                    f"updated {name} must have identical sparsity structure"
+                )
+            csc.data[:] = new.data
+        elif isinstance(data, tuple) and len(data) == 2:
+            idx, vals = data
+            csc.data[np.asarray(idx, np.int64).ravel()] = np.asarray(
+                vals, np.float64
+            ).ravel()
+        else:
+            vals = np.asarray(data, np.float64).ravel()
+            if vals.shape[0] != csc.nnz:
+                raise ValueError(
+                    f"expected {csc.nnz} values for full nzval update"
+                )
+            csc.data[:] = vals
+
     def _push_data(self):
         put = lambda v: jax.device_put(np.asarray(v, self._dtype), self._device)
         perm = self._layout.perm
-        self._P = put(self._np_P)
-        self._q = put(self._np_q)
-        self._A = put(self._np_A[perm, :])
-        self._b = put(np.minimum(self._np_b, get_infinity())[perm])
-        p_is_zero = not np.any(self._np_P)
+        if self._sparse:
+            import scipy.sparse as sp
+
+            P_sym = (self._P_csc + sp.triu(self._P_csc, 1).T).tocoo()
+            A_perm = self._A_csc.tocsr()[perm].tocoo()
+            # structure is immutable, so the deterministic COO order
+            # matches the one captured at setup
+            self._P = self._P.with_data(put(P_sym.data))
+            self._A = self._A.with_data(put(A_perm.data))
+            self._q = put(self._np_q)
+            self._b = put(np.minimum(self._np_b, get_infinity())[perm])
+            p_is_zero = not (P_sym.nnz and np.any(P_sym.data))
+        else:
+            self._P = put(self._np_P)
+            self._q = put(self._np_q)
+            self._A = put(self._np_A[perm, :])
+            self._b = put(np.minimum(self._np_b, get_infinity())[perm])
+            p_is_zero = not np.any(self._np_P)
         if p_is_zero != self._p_is_zero:
             self._p_is_zero = p_is_zero
             self._rebuild_solve_fn()
@@ -548,13 +783,19 @@ class DefaultSolver:
         """Update the P matrix: full matrix, full nzval vector, or
         (nzval-indices, values).  reference: data_updating.rs:98-116"""
         self._check_update_allowed()
-        self._apply_matrix_update(self._np_P, self._P_csc, data, symmetric=True)
+        if self._sparse:
+            self._apply_csc_update(self._P_csc, data, "P")
+        else:
+            self._apply_matrix_update(self._np_P, self._P_csc, data, symmetric=True)
         self._push_data()
 
     def update_A(self, data):
         """reference: data_updating.rs:118-132"""
         self._check_update_allowed()
-        self._apply_matrix_update(self._np_A, self._A_csc, data, symmetric=False)
+        if self._sparse:
+            self._apply_csc_update(self._A_csc, data, "A")
+        else:
+            self._apply_matrix_update(self._np_A, self._A_csc, data, symmetric=False)
         self._push_data()
 
     @staticmethod
@@ -586,9 +827,15 @@ class DefaultSolver:
         """Combined update (reference: data_updating.rs:68-86)."""
         self._check_update_allowed()
         if P is not None:
-            self._apply_matrix_update(self._np_P, self._P_csc, P, symmetric=True)
+            if self._sparse:
+                self._apply_csc_update(self._P_csc, P, "P")
+            else:
+                self._apply_matrix_update(self._np_P, self._P_csc, P, symmetric=True)
         if A is not None:
-            self._apply_matrix_update(self._np_A, self._A_csc, A, symmetric=False)
+            if self._sparse:
+                self._apply_csc_update(self._A_csc, A, "A")
+            else:
+                self._apply_matrix_update(self._np_A, self._A_csc, A, symmetric=False)
         if q is not None:
             self._apply_vector_update(self._np_q, q)
         if b is not None:
@@ -601,7 +848,15 @@ class DefaultSolver:
 
     def _rebuild_solve_fn(self):
         self._warm_fn = None
-        if self._callback is None:
+        if self._sparse:
+            self._solve_fn = jax.jit(
+                build_solve_core(
+                    self._layout, self.settings, self._n_int,
+                    self._p_is_zero, self._dtype, callback=self._callback,
+                    sparse_ctx=self._skkt,
+                )
+            )
+        elif self._callback is None:
             self._solve_fn = _build_solve_fn(
                 self._layout, self.settings, self._n_int, self._p_is_zero,
                 self._dtype, self._use_pallas,
@@ -661,11 +916,18 @@ class DefaultSolver:
         """Write (P, q, A, b, cones, settings) as reference-format JSON."""
         from . import json_io
 
+        if self._sparse:
+            P = _symmetrize_triu(self._P_csc.toarray())
+            A = self._A_csc.toarray()
+            if self._presolver is not None:  # match post-presolve b/cones
+                A = A[self._presolver.keep_logical, :]
+        else:
+            P, A = self._np_P, self._np_A
         json_io.save_problem(
             path,
-            self._np_P,
+            P,
             self._np_q,
-            self._np_A,
+            A,
             self._np_b,
             self._cones_int,
             self.settings,

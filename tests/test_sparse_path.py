@@ -1,0 +1,175 @@
+"""End-to-end tests for the sparse multifrontal KKT path.
+
+The sparse path must reproduce the dense-path oracle exactly (same
+statuses, objectives to 1e-8) while never densifying the problem —
+reference behavior: qdldl-backed DirectLDLKKTSolver
+(src/solver/core/kktsolvers/direct/quasidef/directldlkktsolver.rs with
+src/qdldl/qdldl.rs underneath).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import clarabel_tpu as ct
+
+
+def _settings(**kw):
+    kw.setdefault("verbose", False)
+    return ct.DefaultSettings(**kw)
+
+
+def _mf(**kw):
+    return _settings(direct_solve_method="multifrontal", **kw)
+
+
+def _qp_data():
+    P = sp.csc_matrix(np.array([[4.0, 1.0], [1.0, 2.0]]))
+    q = np.array([1.0, 1.0])
+    A = sp.csc_matrix(np.vstack([np.ones((1, 2)), np.eye(2), -np.eye(2)]))
+    b = np.array([1.0, 0.7, 0.7, 0.0, 0.0])
+    cones = [ct.ZeroConeT(1), ct.NonnegativeConeT(4)]
+    return P, q, A, b, cones
+
+
+def test_qp_oracle_multifrontal():
+    P, q, A, b, cones = _qp_data()
+    solver = ct.DefaultSolver(P, q, A, b, cones, _mf())
+    assert solver._sparse
+    sol = solver.solve()
+    assert sol.status == ct.SolverStatus.Solved
+    assert sol.obj_val == pytest.approx(1.88, abs=1e-8)
+    np.testing.assert_allclose(sol.x, [0.3, 0.7], atol=1e-7)
+
+
+@pytest.mark.parametrize("case", ["socp", "exp", "pow", "genpow", "sdp"])
+def test_cone_zoo_matches_dense(case):
+    if case == "socp":
+        P = np.eye(2)
+        q = np.array([0.0, -1.0])
+        A = np.vstack([-np.eye(2), [[0.0, 0.0], [-1.0, 0.0], [0.0, -1.0]]])
+        b = np.array([0.0, 0.0, 1.0, 0.0, 0.0])
+        cones = [ct.NonnegativeConeT(2), ct.SecondOrderConeT(3)]
+    elif case == "exp":
+        P = np.zeros((3, 3))
+        q = np.array([-1.0, 0.0, 0.0])
+        A = np.vstack([-np.eye(3), [[0, 1, 0], [0, 0, 1]]])
+        b = np.array([0.0, 0.0, 0.0, 1.0, np.e])
+        cones = [ct.ExponentialConeT(), ct.ZeroConeT(2)]
+    elif case == "pow":
+        P = np.zeros((3, 3))
+        q = np.array([0.0, 0.0, -1.0])
+        A = np.vstack([-np.eye(3), [[1.0, 0, 0], [0, 1.0, 0]]])
+        b = np.array([0, 0, 0, 1.0, 1.0])
+        cones = [ct.PowerConeT(0.6), ct.ZeroConeT(2)]
+    elif case == "genpow":
+        P = np.zeros((4, 4))
+        q = np.array([0.0, 0.0, -1.0, 0.0])
+        A = np.vstack([-np.eye(4), [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 0, 1.0]]])
+        b = np.array([0, 0, 0, 0, 1.0, 1.0, 0.5])
+        cones = [ct.GenPowerConeT([0.5, 0.5], 2), ct.ZeroConeT(3)]
+    else:  # sdp
+        P = np.zeros((3, 3))
+        q = np.array([1.0, 0.0, 2.0])
+        A = np.vstack([np.array([[1.0, 0.0, 1.0]]), -np.eye(3)])
+        b = np.array([1.0, 0, 0, 0])
+        cones = [ct.ZeroConeT(1), ct.PSDTriangleConeT(2)]
+
+    P, A = sp.csc_matrix(P), sp.csc_matrix(A)
+    r1 = ct.DefaultSolver(P, q, A, b, cones, _mf()).solve()
+    r2 = ct.DefaultSolver(P, q, A, b, cones, _settings(direct_solve_method="lu")).solve()
+    assert r1.status == r2.status == ct.SolverStatus.Solved
+    assert r1.obj_val == pytest.approx(r2.obj_val, abs=1e-7)
+    np.testing.assert_allclose(r1.x, r2.x, atol=1e-6)
+
+
+def test_banded_qp_auto_selects_sparse():
+    """A banded sparse QP above the auto gate routes to the multifrontal
+    engine and solves to oracle accuracy with a shallow level schedule."""
+    rng = np.random.default_rng(1)
+    n = 1200
+    P = sp.diags(
+        [2.0 * np.ones(n), -0.8 * np.ones(n - 1), -0.8 * np.ones(n - 1)],
+        [0, 1, -1], format="csc",
+    )
+    q = rng.standard_normal(n)
+    A = sp.vstack([sp.eye(n), -sp.eye(n)], format="csc")
+    b = np.ones(2 * n)
+    solver = ct.DefaultSolver(P, q, A, b, [ct.NonnegativeConeT(2 * n)], _settings())
+    assert solver._sparse  # auto heuristic
+    assert len(solver._skkt.plan.levels) <= 32
+    sol = solver.solve()
+    assert sol.status == ct.SolverStatus.Solved
+    # independent KKT check: P x + q + A' z = 0, |x| <= 1 box
+    x, z = sol.x, sol.z
+    grad = P @ x + q + A.T @ z
+    assert np.max(np.abs(grad)) < 1e-6
+    assert np.max(np.abs(x)) <= 1.0 + 1e-7
+
+
+def test_sparse_infeasible_certificates():
+    # primal infeasible: x <= -1 and x >= 1 (basic_lp.rs-style)
+    P = sp.csc_matrix((1, 1))
+    q = np.array([1.0])
+    A = sp.csc_matrix(np.array([[1.0], [-1.0]]))
+    b = np.array([-1.0, -1.0])
+    sol = ct.DefaultSolver(P, q, A, b, [ct.NonnegativeConeT(2)], _mf()).solve()
+    assert sol.status == ct.SolverStatus.PrimalInfeasible
+
+    # dual infeasible: min -x s.t. x >= 0 (unbounded above)
+    q = np.array([-1.0])
+    A = sp.csc_matrix(np.array([[-1.0]]))
+    b = np.array([0.0])
+    sol = ct.DefaultSolver(
+        sp.csc_matrix((1, 1)), q, A, b, [ct.NonnegativeConeT(1)], _mf()
+    ).solve()
+    assert sol.status == ct.SolverStatus.DualInfeasible
+
+
+def test_sparse_data_updating():
+    P, q, A, b, cones = _qp_data()
+    solver = ct.DefaultSolver(
+        P, q, A, b, cones, _mf(presolve_enable=False)
+    )
+    assert solver._sparse and solver.is_data_update_allowed()
+    sol0 = solver.solve()
+
+    # q update
+    solver.update_q(np.array([0.0, 1.0]))
+    sol1 = solver.solve()
+    assert sol1.status == ct.SolverStatus.Solved
+    ref = ct.DefaultSolver(
+        P, np.array([0.0, 1.0]), A, b, cones, _settings()
+    ).solve()
+    assert sol1.obj_val == pytest.approx(ref.obj_val, abs=1e-7)
+
+    # P nzval update through the retained triu CSC structure
+    P2 = np.array([[6.0, 1.0], [1.0, 3.0]])
+    solver.update_P(sp.csc_matrix(P2))
+    sol2 = solver.solve()
+    ref2 = ct.DefaultSolver(sp.csc_matrix(P2), np.array([0.0, 1.0]), A, b,
+                            cones, _settings()).solve()
+    assert sol2.obj_val == pytest.approx(ref2.obj_val, abs=1e-7)
+
+    # b update
+    bnew = b.copy(); bnew[0] = 1.2
+    solver.update_b(bnew)
+    sol3 = solver.solve()
+    assert sol3.status == ct.SolverStatus.Solved
+
+    # A (index, value) update
+    solver.update_A(([0], [2.0]))
+    sol4 = solver.solve()
+    assert sol4.status == ct.SolverStatus.Solved
+
+
+def test_sparse_warm_start():
+    P, q, A, b, cones = _qp_data()
+    solver = ct.DefaultSolver(
+        P, q, A, b, cones, _mf(presolve_enable=False)
+    )
+    cold = solver.solve()
+    warm = solver.solve(warm_start=cold)
+    assert warm.status == ct.SolverStatus.Solved
+    assert warm.obj_val == pytest.approx(cold.obj_val, abs=1e-7)
+    assert warm.iterations <= cold.iterations
