@@ -1,13 +1,23 @@
-"""Headline benchmark: batched conic-QP throughput (problems/s).
+"""Headline benchmark + extended perf instrumentation.
 
-Runs the vmapped IPM over a batch of strictly convex QPs with box
-constraints on the available accelerator (f32), and reports problems/s.
-``vs_baseline`` compares against a single-problem sequential solve on the
-host CPU — i.e. the speedup over a reference-style one-at-a-time solver —
-since the reference repo publishes no benchmark numbers (BASELINE.md).
-
-Prints exactly one JSON line:
+stdout contract (driver): exactly ONE JSON line
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+with the headline metric — batched conic-QP throughput (problems/s) vs a
+sequential single-problem host-CPU solve (reference-style one-at-a-time
+usage; the reference repo publishes no benchmark numbers, BASELINE.md).
+
+Everything else goes to BENCH_EXT.json (BASELINE.md "Targets" rows):
+  - batched SOCP / SDP throughput
+  - Pallas quasidefinite LDL factor+solve latency and achieved FLOP/s at
+    N in {256, 512, 1024} (batched, MXU-utilization mode)
+  - sparse multifrontal KKT: per-iteration factor+3-solves time on a
+    banded QP with n+m = 60,000
+  - dense LU KKT factor+solve per-iteration latency at N in {1024, 4096}
+
+All timings are device-compute only (block_until_ready on small outputs;
+result downloads ride a remote tunnel in this environment and would
+dominate).  Every section is fault-isolated: a failure records an "error"
+row instead of killing the headline.
 """
 
 import json
@@ -15,6 +25,36 @@ import sys
 import time
 
 import numpy as np
+
+EXT = {"rows": []}
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _row(name, value, unit, **kw):
+    d = {"metric": name, "value": value, "unit": unit}
+    d.update(kw)
+    EXT["rows"].append(d)
+    _log(f"{name}: {value} {unit} {kw if kw else ''}")
+    return d
+
+
+def _section(name):
+    def deco(fn):
+        def wrapped(*a, **k):
+            t0 = time.perf_counter()
+            try:
+                out = fn(*a, **k)
+                _log(f"[{name}] done in {time.perf_counter()-t0:.1f}s")
+                return out
+            except Exception as e:  # fault isolation per section
+                _log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+                EXT["rows"].append({"metric": name, "error": f"{type(e).__name__}: {e}"})
+                return None
+        return wrapped
+    return deco
 
 
 def make_batch(B, n, seed=0):
@@ -27,49 +67,230 @@ def make_batch(B, n, seed=0):
     return P, q, A, b
 
 
-def main():
-    import jax
-
-    import clarabel_tpu as ct
-
-    B, n = 512, 32
-    P, q, A, b = make_batch(B, n)
-    cones = [ct.NonnegativeConeT(2 * n)]
-    # f32-appropriate tolerances (f64 defaults are below f32 resolution)
-    settings = ct.DefaultSettings.for_float32(verbose=False)
-
-    device = jax.devices()[0]
-
-    batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32",
-                           device=device)
-    # warmup / compile
-    sol = batch.solve()
-    n_ok = int(sum(1 for s in sol.statuses() if s == ct.SolverStatus.Solved))
-
-    # time the device computation only (result download rides a remote
-    # tunnel in this environment and would dominate the measurement)
+def _time_batch_solver(batch, reps=7):
     args = (batch._P, batch._q, batch._A, batch._b)
     times = []
-    for _ in range(7):
+    for _ in range(reps):
         t0 = time.perf_counter()
         out = batch._solve_fn(*args)
         out["status"].block_until_ready()
         times.append(time.perf_counter() - t0)
-    t_batch = min(times)
+    return min(times), out
+
+
+# ----------------------------------------------------------------------
+def bench_batched_qp(jax, ct, device):
+    """Headline: batched box-QP throughput + sequential CPU baseline."""
+    B, n = 512, 32
+    P, q, A, b = make_batch(B, n)
+    cones = [ct.NonnegativeConeT(2 * n)]
+    settings = ct.DefaultSettings.for_float32(verbose=False)
+
+    batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32",
+                           device=device)
+    sol = batch.solve()  # warmup / compile
+    n_ok = int(sum(1 for s in sol.statuses() if s == ct.SolverStatus.Solved))
+
+    t_batch, _ = _time_batch_solver(batch)
     throughput = B / t_batch
 
     # baseline: sequential single-problem solves on the host CPU
-    # (reference-style one-at-a-time usage, same tolerances)
     cpu = jax.devices("cpu")[0]
     single = ct.DefaultSolver(P[0], q[0], A[0], b[0], cones, settings,
                               dtype="float32", device=cpu)
     single.solve()  # warmup/compile
     t0 = time.perf_counter()
     reps = 20
-    for i in range(reps):
+    for _ in range(reps):
         single.solve()
     t_single = (time.perf_counter() - t0) / reps
-    seq_throughput = 1.0 / t_single
+
+    vs = throughput * t_single
+    _row("batched_qp_throughput", round(throughput, 2), "problems/s",
+         vs_baseline=round(vs, 2), B=B, n=n, m=2 * n,
+         solved=f"{n_ok}/{B}", t_batch_ms=round(t_batch * 1e3, 1),
+         cpu_seq_per_s=round(1.0 / t_single, 2))
+    return throughput, vs
+
+
+@_section("batched_socp")
+def bench_batched_socp(jax, ct, device):
+    B, n, dsoc = 256, 32, 33
+    rng = np.random.default_rng(1)
+    M = rng.normal(size=(B, n, n)) / np.sqrt(n)
+    P = np.einsum("bij,bkj->bik", M, M) + 0.5 * np.eye(n)
+    q = rng.normal(size=(B, n))
+    Asoc = np.zeros((dsoc, n)); Asoc[1:, :n] = -np.eye(dsoc - 1)[:, :n]
+    A = np.tile(np.vstack([np.eye(n), -np.eye(n), Asoc]), (B, 1, 1))
+    b = np.concatenate([np.ones(2 * n), [10.0], np.zeros(dsoc - 1)])
+    b = np.tile(b, (B, 1))
+    cones = [ct.NonnegativeConeT(2 * n), ct.SecondOrderConeT(dsoc)]
+    settings = ct.DefaultSettings.for_float32(verbose=False)
+    batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32",
+                           device=device)
+    sol = batch.solve()
+    n_ok = int(sum(1 for s in sol.statuses() if s == ct.SolverStatus.Solved))
+    t_batch, _ = _time_batch_solver(batch, reps=5)
+    _row("batched_socp_throughput", round(B / t_batch, 2), "problems/s",
+         B=B, n=n, m=2 * n + dsoc, solved=f"{n_ok}/{B}",
+         t_batch_ms=round(t_batch * 1e3, 1))
+
+
+@_section("batched_sdp")
+def bench_batched_sdp(jax, ct, device):
+    B, n, dmat = 64, 16, 4
+    tri = dmat * (dmat + 1) // 2
+    rng = np.random.default_rng(2)
+    M = rng.normal(size=(B, n, n)) / np.sqrt(n)
+    P = np.einsum("bij,bkj->bik", M, M) + 0.5 * np.eye(n)
+    q = rng.normal(size=(B, n))
+    Apsd = np.zeros((tri, n)); Apsd[:tri, :min(tri, n)] = -np.eye(tri)[:, :min(tri, n)]
+    A = np.tile(np.vstack([np.eye(n), -np.eye(n), Apsd]), (B, 1, 1))
+    # b_psd = svec of 2*I (strictly feasible interior)
+    bpsd = np.zeros(tri); k = 0
+    for col in range(dmat):
+        for row in range(col + 1):
+            if row == col:
+                bpsd[k] = 2.0
+            k += 1
+    b = np.tile(np.concatenate([np.ones(2 * n), bpsd]), (B, 1))
+    cones = [ct.NonnegativeConeT(2 * n), ct.PSDTriangleConeT(dmat)]
+    settings = ct.DefaultSettings.for_float32(verbose=False)
+    batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32",
+                           device=device)
+    sol = batch.solve()
+    n_ok = int(sum(1 for s in sol.statuses() if s == ct.SolverStatus.Solved))
+    t_batch, _ = _time_batch_solver(batch, reps=5)
+    _row("batched_sdp_throughput", round(B / t_batch, 2), "problems/s",
+         B=B, n=n, m=2 * n + tri, psd_dim=dmat, solved=f"{n_ok}/{B}",
+         t_batch_ms=round(t_batch * 1e3, 1))
+
+
+@_section("pallas_ldl")
+def bench_pallas_ldl(jax, ct, device):
+    """Batched Pallas quasidefinite LDL: factor+solve latency and achieved
+    FLOP/s (flops ~ B*N^3/3).  Roofline context: TPU v5e MXU peak is
+    ~197 TFLOP/s bf16; f32 (pinned here for IPM accuracy) peaks near a
+    quarter of that."""
+    import jax.numpy as jnp
+
+    from clarabel_tpu.kkt import pallas_ldl
+    from clarabel_tpu.settings import DefaultSettings
+
+    settings = DefaultSettings.for_float32()
+    for N in (256, 512, 1024):
+        n = m = N // 2
+        B = max(2048 // N, 2)
+        rng = np.random.default_rng(N)
+        Mx = rng.normal(size=(B, n, n)).astype(np.float32) / np.sqrt(n)
+        Pm = np.einsum("bij,bkj->bik", Mx, Mx) + np.eye(n, dtype=np.float32)
+        Am = rng.normal(size=(B, m, n)).astype(np.float32)
+        H = np.tile(np.eye(m, dtype=np.float32), (B, 1, 1))
+        K = np.block([[Pm, np.transpose(Am, (0, 2, 1))], [Am, -H]])
+        Kd = jax.device_put(K.astype(np.float32), device)
+        rhs = jax.device_put(rng.normal(size=(B, N)).astype(np.float32), device)
+
+        factor = pallas_ldl.make_ldl_factor(n, m, settings, jnp.float32)
+
+        def fs(Kb, rb):
+            (kind, (packed, NN)), ok = factor(Kb)
+            if kind == "pldl_lower":
+                return pallas_ldl.ldl_solve_lower(packed, NN, rb)
+            return pallas_ldl.ldl_solve(packed, NN, rb)
+
+        f = jax.jit(jax.vmap(fs))
+        f(Kd, rhs).block_until_ready()  # compile
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            f(Kd, rhs).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        flops = B * (N**3 / 3.0)
+        _row(f"pallas_ldl_factor_solve_N{N}", round(t / B * 1e6, 1),
+             "us/instance", B=B, achieved_gflops=round(flops / t / 1e9, 1))
+
+
+@_section("sparse_multifrontal")
+def bench_sparse_mf(jax, ct, device):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    diags = [2.0 * np.ones(n), -0.5 * np.ones(n - 1), -0.5 * np.ones(n - 1),
+             0.1 * np.ones(n - 7)]
+    Pm = sp.diags(diags, [0, 1, -1, 7], format="csc")
+    P_full = ((Pm + Pm.T) * 0.5).tocsc()
+    q = rng.standard_normal(n)
+    A = sp.vstack([sp.eye(n), -sp.eye(n)], format="csc")
+    b = np.concatenate([np.ones(n), np.ones(n)])
+    s = ct.DefaultSettings.for_float32(
+        direct_solve_method="multifrontal", verbose=False
+    )
+    t0 = time.perf_counter()
+    solver = ct.DefaultSolver(P_full, q, A, b, [ct.NonnegativeConeT(2 * n)],
+                              s, dtype="float32", device=device)
+    t_setup = time.perf_counter() - t0
+    sol = solver.solve()  # compile + first solve
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    t_solve = time.perf_counter() - t0
+    iters = max(sol.iterations, 1)
+    _row("sparse_mf_per_iteration", round(t_solve / (iters + 1) * 1e3, 2),
+         "ms/iter", N=solver._skkt.N, nnzL=solver._skkt.plan.nnzL,
+         levels=len(solver._skkt.plan.levels), iters=int(sol.iterations),
+         status=sol.status.name, solve_ms=round(t_solve * 1e3, 1),
+         symbolic_setup_s=round(t_setup, 2))
+
+
+@_section("dense_lu_kkt")
+def bench_dense_lu(jax, ct, device):
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+
+    for N in (1024, 4096):
+        rng = np.random.default_rng(N)
+        n = N // 2
+        Mx = rng.normal(size=(n, n)).astype(np.float32) / np.sqrt(n)
+        Pm = Mx @ Mx.T + np.eye(n, dtype=np.float32)
+        Am = rng.normal(size=(n, n)).astype(np.float32)
+        K = np.block([[Pm, Am.T], [Am, -np.eye(n, dtype=np.float32)]])
+        Kd = jax.device_put(K, device)
+        rhs = jax.device_put(rng.normal(size=N).astype(np.float32), device)
+
+        def fs(Kb, rb):
+            lu, piv = jsl.lu_factor(Kb)
+            return jsl.lu_solve((lu, piv), rb)
+
+        f = jax.jit(fs)
+        f(Kd, rhs).block_until_ready()
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            f(Kd, rhs).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        _row(f"dense_lu_factor_solve_N{N}", round(min(times) * 1e3, 2), "ms")
+
+
+def main():
+    import jax
+
+    import clarabel_tpu as ct
+
+    device = jax.devices()[0]
+    EXT["device"] = str(device)
+    _log(f"device: {device}")
+
+    throughput, vs = bench_batched_qp(jax, ct, device)
+
+    bench_batched_socp(jax, ct, device)
+    bench_batched_sdp(jax, ct, device)
+    bench_pallas_ldl(jax, ct, device)
+    bench_sparse_mf(jax, ct, device)
+    bench_dense_lu(jax, ct, device)
+
+    with open("BENCH_EXT.json", "w") as f:
+        json.dump(EXT, f, indent=1)
 
     print(
         json.dumps(
@@ -77,15 +298,9 @@ def main():
                 "metric": "batched_qp_throughput",
                 "value": round(throughput, 2),
                 "unit": "problems/s",
-                "vs_baseline": round(throughput / seq_throughput, 2),
+                "vs_baseline": round(vs, 2),
             }
         )
-    )
-    print(
-        f"# B={B} n={n} m={2*n} device={device.platform} "
-        f"t_batch={t_batch*1e3:.1f}ms solved={n_ok}/{B} "
-        f"cpu_seq={seq_throughput:.1f}/s",
-        file=sys.stderr,
     )
 
 

@@ -641,9 +641,15 @@ def rectify_equilibration(layout: ConeLayout, e):
 # separate diagonal group of the sparse pattern).
 
 
-def hs_lower_coords(layout: ConeLayout):
+def hs_lower_coords(layout: ConeLayout, soc_expanded=(), genpow_expanded=False):
     """Host-side: global (rows, cols) in [0, m) of every Hs lower-triangle
-    entry, row >= col, in the canonical order of :func:`hs_lower_vals`."""
+    entry, row >= col, in the canonical order of :func:`hs_lower_vals`.
+
+    ``soc_expanded`` (bool per SOC cone) and ``genpow_expanded`` select
+    the sparse low-rank expansion form for those cones: their Hs block
+    degenerates to a diagonal here, with the rank-2/rank-3 terms carried
+    by the extension rows of :func:`expansion_coords` (reference:
+    socone.rs:217-226 sparse get_Hs, genpowcone.rs:165-176)."""
     rows, cols = [], []
 
     if layout.n_nn:
@@ -654,11 +660,22 @@ def hs_lower_coords(layout: ConeLayout):
 
     if layout.num_soc:
         off = layout.slice_of(api.SOC).start
+        if not soc_expanded:
+            soc_expanded = (False,) * layout.num_soc
+        # dense cones first (cone-major tril), then expanded cones' diags
         pos = 0
-        for d in layout.soc_dims:
-            ti, tj = np.tril_indices(d)
-            rows.append(off + pos + ti)
-            cols.append(off + pos + tj)
+        for ci, d in enumerate(layout.soc_dims):
+            if not soc_expanded[ci]:
+                ti, tj = np.tril_indices(d)
+                rows.append(off + pos + ti)
+                cols.append(off + pos + tj)
+            pos += d
+        pos = 0
+        for ci, d in enumerate(layout.soc_dims):
+            if soc_expanded[ci]:
+                i = off + pos + np.arange(d, dtype=np.int64)
+                rows.append(i)
+                cols.append(i)
             pos += d
 
     for kind, count in ((api.EXP, layout.num_exp), (api.POW, layout.num_pow)):
@@ -671,13 +688,18 @@ def hs_lower_coords(layout: ConeLayout):
 
     if layout.num_genpow:
         off = layout.slice_of(api.GENPOW).start
-        pos = 0
-        for c in layout.genpow_cones:
-            w = c.nvars
-            ti, tj = np.tril_indices(w)
-            rows.append(off + pos + ti)
-            cols.append(off + pos + tj)
-            pos += w
+        if genpow_expanded:
+            i = off + np.arange(layout.m_genpow, dtype=np.int64)
+            rows.append(i)
+            cols.append(i)
+        else:
+            pos = 0
+            for c in layout.genpow_cones:
+                w = c.nvars
+                ti, tj = np.tril_indices(w)
+                rows.append(off + pos + ti)
+                cols.append(off + pos + tj)
+                pos += w
 
     if layout.num_psd:
         off = layout.slice_of(api.PSD).start
@@ -696,7 +718,8 @@ def hs_lower_coords(layout: ConeLayout):
     )
 
 
-def hs_lower_vals(layout: ConeLayout, state, dtype):
+def hs_lower_vals(layout: ConeLayout, state, dtype, soc_expanded=(),
+                  genpow_expanded=False):
     """Device-side: Hs lower-triangle entry values in the canonical order
     of :func:`hs_lower_coords`.  All gather indices are static NumPy."""
     parts = []
@@ -705,26 +728,43 @@ def hs_lower_vals(layout: ConeLayout, state, dtype):
         parts.append(state["nn_w"] ** 2)
 
     if layout.num_soc:
+        if not soc_expanded:
+            soc_expanded = (False,) * layout.num_soc
+        exp_mask = np.asarray(soc_expanded, bool)
+        w, eta = state["soc_w"], state["soc_eta"]
         # dense form Hs = eta^2 (2wwT - J) per cone (socone.rs:227-245);
         # entry (i, j): 2 u_i u_j + [i == j] * (head ? -eta^2 : +eta^2)
         gi_l, gj_l = [], []
         pos = 0
-        for d in layout.soc_dims:
-            ti, tj = np.tril_indices(d)
-            gi_l.append(pos + ti)
-            gj_l.append(pos + tj)
+        for ci, d in enumerate(layout.soc_dims):
+            if not soc_expanded[ci]:
+                ti, tj = np.tril_indices(d)
+                gi_l.append(pos + ti)
+                gj_l.append(pos + tj)
             pos += d
-        gi = np.concatenate(gi_l)
-        gj = np.concatenate(gj_l)
-        seg = layout.soc_seg[gi]
-        w, eta = state["soc_w"], state["soc_eta"]
-        u = eta[layout.soc_seg] * w
-        eta2 = (eta**2)[seg]
-        diag_term = jnp.where(
-            jnp.asarray(layout.soc_head_mask[gi]), -eta2, eta2
-        )
-        vals = 2.0 * u[gi] * u[gj] + jnp.asarray(gi == gj) * diag_term
-        parts.append(vals)
+        if gi_l:
+            gi = np.concatenate(gi_l)
+            gj = np.concatenate(gj_l)
+            seg = layout.soc_seg[gi]
+            u = eta[layout.soc_seg] * w
+            eta2 = (eta**2)[seg]
+            diag_term = jnp.where(
+                jnp.asarray(layout.soc_head_mask[gi]), -eta2, eta2
+            )
+            vals = 2.0 * u[gi] * u[gj] + jnp.asarray(gi == gj) * diag_term
+            parts.append(vals)
+        if exp_mask.any():
+            # sparse form: diagonal eta^2 * [d, 1, ..., 1] per cone with
+            # d = 1/(2 w'w) (socone.rs:190-199, 217-226)
+            sel = exp_mask[layout.soc_seg]  # static row mask
+            w1sq = _soc_sum(layout, _tail(layout, w) ** 2)
+            w0 = _heads(layout, w)
+            dd = 0.5 / (w0**2 + w1sq)
+            seg = layout.soc_seg
+            dvals = jnp.where(
+                jnp.asarray(layout.soc_head_mask), dd[seg], 1.0
+            ) * (state["soc_eta"] ** 2)[seg]
+            parts.append(dvals[np.where(sel)[0]])
 
     for key, count in (("exp_hs", layout.num_exp), ("pow_hs", layout.num_pow)):
         if count:
@@ -733,27 +773,32 @@ def hs_lower_vals(layout: ConeLayout, state, dtype):
 
     if layout.num_genpow:
         # Hs = mu (D + pp' - qq' - rr') (genpowcone.rs:360-401)
-        gi_l, gj_l = [], []
-        pos = 0
-        for c in layout.genpow_cones:
-            ti, tj = np.tril_indices(c.nvars)
-            gi_l.append(pos + ti)
-            gj_l.append(pos + tj)
-            pos += c.nvars
-        gi = np.concatenate(gi_l)
-        gj = np.concatenate(gj_l)
-        p, qv, rv = state["gp_p"], state["gp_q"], state["gp_r"]
         seg = layout.genpow_seg
         diagvec = jnp.where(
             jnp.asarray(layout.genpow_is_q), state["gp_d2"][seg], state["gp_d1"]
         )
-        vals = (
-            p[gi] * p[gj]
-            - qv[gi] * qv[gj]
-            - rv[gi] * rv[gj]
-            + jnp.asarray(gi == gj) * diagvec[gi]
-        )
-        parts.append(state["gp_mu"] * vals)
+        if genpow_expanded:
+            # sparse form keeps only mu*D here (genpowcone.rs:169-176);
+            # the rank-3 terms ride the extension rows
+            parts.append(state["gp_mu"] * diagvec)
+        else:
+            gi_l, gj_l = [], []
+            pos = 0
+            for c in layout.genpow_cones:
+                ti, tj = np.tril_indices(c.nvars)
+                gi_l.append(pos + ti)
+                gj_l.append(pos + tj)
+                pos += c.nvars
+            gi = np.concatenate(gi_l)
+            gj = np.concatenate(gj_l)
+            p, qv, rv = state["gp_p"], state["gp_q"], state["gp_r"]
+            vals = (
+                p[gi] * p[gj]
+                - qv[gi] * qv[gj]
+                - rv[gi] * rv[gj]
+                + jnp.asarray(gi == gj) * diagvec[gi]
+            )
+            parts.append(state["gp_mu"] * vals)
 
     if layout.num_psd:
         from . import psd as _psd
@@ -768,3 +813,132 @@ def hs_lower_vals(layout: ConeLayout, state, dtype):
     if not parts:
         return jnp.zeros(0, dtype)
     return jnp.concatenate([jnp.asarray(p, dtype) for p in parts])
+
+
+def expansion_coords(layout: ConeLayout, soc_expanded=(), genpow_expanded=False):
+    """Host-side: lower-triangle coordinates of the sparse-cone expansion
+    terms, in the [0, m + pdim) row space (the caller offsets by n for K
+    coordinates).  Returns (rows, cols, ext_dsigns).
+
+    Canonical order (must match :func:`expansion_vals`):
+      [ SOC v entries | SOC u entries | SOC ext diags (-+ per cone) |
+        genpow q | genpow r | genpow p | genpow ext diags (--+ per cone) ]
+
+    reference: datamaps.rs:112-221 (SOC: v column first, u column second,
+    D = eta^2*(-1, 1)); :226-343 (genpow: q/r/p columns scaled -sqrt(mu),
+    D = (-1, -1, 1)).
+    """
+    rows, cols, signs = [], [], []
+    ext = layout.m  # next extension row index
+
+    soc_ext_pairs = []  # (ext_v, ext_u) per expanded cone
+    if layout.num_soc and soc_expanded and any(soc_expanded):
+        off = layout.slice_of(api.SOC).start
+        pos = 0
+        for ci, d in enumerate(layout.soc_dims):
+            if soc_expanded[ci]:
+                soc_ext_pairs.append((ext, ext + 1, off + pos, d))
+                ext += 2
+            pos += d
+        for ev, eu, r0, d in soc_ext_pairs:  # v entries
+            rows.append(np.full(d, ev, np.int64))
+            cols.append(r0 + np.arange(d, dtype=np.int64))
+        for ev, eu, r0, d in soc_ext_pairs:  # u entries
+            rows.append(np.full(d, eu, np.int64))
+            cols.append(r0 + np.arange(d, dtype=np.int64))
+        for ev, eu, r0, d in soc_ext_pairs:  # ext diagonal
+            rows.append(np.asarray([ev, eu], np.int64))
+            cols.append(np.asarray([ev, eu], np.int64))
+        signs += [-1.0, 1.0] * len(soc_ext_pairs)
+
+    if genpow_expanded and layout.num_genpow:
+        off = layout.slice_of(api.GENPOW).start
+        gp_ext = []  # (ext_q, ext_r, ext_p, row0, dim1, dim2)
+        pos = 0
+        for c in layout.genpow_cones:
+            d1, d2 = len(c.alpha), c.dim2
+            gp_ext.append((ext, ext + 1, ext + 2, off + pos, d1, d2))
+            ext += 3
+            pos += c.nvars
+        for eq, er, ep, r0, d1, d2 in gp_ext:  # q over the alpha part
+            rows.append(np.full(d1, eq, np.int64))
+            cols.append(r0 + np.arange(d1, dtype=np.int64))
+        for eq, er, ep, r0, d1, d2 in gp_ext:  # r over the q part
+            rows.append(np.full(d2, er, np.int64))
+            cols.append(r0 + d1 + np.arange(d2, dtype=np.int64))
+        for eq, er, ep, r0, d1, d2 in gp_ext:  # p over the whole cone
+            rows.append(np.full(d1 + d2, ep, np.int64))
+            cols.append(r0 + np.arange(d1 + d2, dtype=np.int64))
+        for eq, er, ep, r0, d1, d2 in gp_ext:
+            rows.append(np.asarray([eq, er, ep], np.int64))
+            cols.append(np.asarray([eq, er, ep], np.int64))
+        signs += [-1.0, -1.0, 1.0] * len(gp_ext)
+
+    if not rows:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    return (
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.asarray(signs, np.float64),
+    )
+
+
+def expansion_vals(layout: ConeLayout, state, dtype, soc_expanded=(),
+                   genpow_expanded=False):
+    """Device-side: expansion entry values in the order of
+    :func:`expansion_coords`.
+
+    SOC rank-2 factors (socone.rs:186-207): with normalized w and
+    wsq = w'w,  d = 1/(2 wsq),  u = [sqrt(wsq - d); (2 w0 / u0) w_1:],
+    v = [0; v1 w_1:],  v1 = sqrt(2 (2 + 1/wsq) / (2 wsq - 1/wsq)); the
+    K entries are -eta^2 u / -eta^2 v with ext diag eta^2 (-1, 1).
+    GenPow (datamaps.rs:330-343): columns -sqrt(mu) q/r/p, diag (-1,-1,1).
+    """
+    parts = []
+
+    if layout.num_soc and soc_expanded and any(soc_expanded):
+        exp_mask = np.asarray(soc_expanded, bool)
+        sel = np.where(exp_mask[layout.soc_seg])[0]  # static row indices
+        cids = np.where(exp_mask)[0]  # static expanded cone ids
+        w, eta = state["soc_w"], state["soc_eta"]
+        seg = layout.soc_seg
+        head = jnp.asarray(layout.soc_head_mask)
+        w1sq = _soc_sum(layout, _tail(layout, w) ** 2)
+        w0 = _heads(layout, w)
+        wsq = w0**2 + w1sq
+        dd = 0.5 / wsq
+        u0 = jnp.sqrt(wsq - dd)
+        u1 = 2.0 * w0 / u0
+        v1 = jnp.sqrt(2.0 * (2.0 + 1.0 / wsq) / (2.0 * wsq - 1.0 / wsq))
+        u_row = jnp.where(head, u0[seg], u1[seg] * w)
+        v_row = jnp.where(head, 0.0, v1[seg] * w)
+        eta2r = (eta**2)[seg]
+        parts.append((-eta2r * v_row)[sel])
+        parts.append((-eta2r * u_row)[sel])
+        eta2c = (eta**2)[cids]
+        parts.append(jnp.stack([-eta2c, eta2c], axis=1).reshape(-1))
+
+    if genpow_expanded and layout.num_genpow:
+        isq = np.asarray(layout.genpow_is_q, bool)
+        sqmu = jnp.sqrt(state["gp_mu"])
+        parts.append((-sqmu * state["gp_q"])[np.where(~isq)[0]])
+        parts.append((-sqmu * state["gp_r"])[np.where(isq)[0]])
+        parts.append(-sqmu * state["gp_p"])
+        ones = jnp.ones(layout.num_genpow, dtype)
+        parts.append(jnp.stack([-ones, -ones, ones], axis=1).reshape(-1))
+
+    if not parts:
+        return jnp.zeros(0, dtype)
+    return jnp.concatenate([jnp.asarray(p, dtype) for p in parts])
+
+
+def hs_diag(layout: ConeLayout, state, dtype):
+    """diag(Hs) for diagonal-Hs layouts (zero/NN cones only) — the
+    structured Schur path needs no other Hs data.  reference:
+    nonnegativecone.rs:96-101 (diag Hs = w^2), zerocone.rs (Hs = 0)."""
+    h = jnp.zeros(layout.m, dtype)
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        h = h.at[sl].set(state["nn_w"] ** 2)
+    return h

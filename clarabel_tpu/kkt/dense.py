@@ -88,43 +88,29 @@ def factor_schur(K_reg, n):
     return ("schur", (LH, LS, A, n)), ok
 
 
-def factor_schur_diag(K_reg, n, eq_mask=None):
-    """Schur factorization specialized to diagonal H (zero/nonnegative-cone
-    layouts): H⁻¹ is an elementwise reciprocal, S builds with one weighted
-    Gram matmul, and solves need no [m, m] triangular solves at all —
-    the MXU-optimal path for the batched (box-)QP workload.
+def prepare_schur_diag(P, A, hs_diag, settings, eq_mask=None):
+    """Fully structured diagonal-H KKT preparation for diagonal-Hs layouts
+    (zero/nonnegative cones): H⁻¹ is an elementwise reciprocal and S builds
+    with one weighted Gram matmul — the MXU-optimal path for the batched
+    (box-)QP workload.  Neither the dense Hs nor the (n+m)^2 K is ever
+    materialized (per-iteration memory O(mn), not O(m^2)).  Returns
+    (factors, matvec, ok) where ``matvec`` applies the *unregularized* K
+    for iterative refinement.
 
     Zero-cone (equality) rows have only the tiny static regularization on
     their H diagonal; ``eq_mask`` marks them so a heavier proxy
-    regularization δ ≈ 1e-3·max|diag K| keeps the condensation well
+    regularization δ ≈ 1e-3·max|diag| keeps the condensation well
     conditioned in f32 — the iterative refinement against the true K then
     recovers full f32 accuracy in 2-3 sweeps (the same recovery mechanism
-    the reference uses for its static regularization).
-    """
-    Pt = K_reg[:n, :n]
-    A = K_reg[n:, :n]
-    h = -jnp.diagonal(K_reg)[n:]  # = diag(Hs) + ε > 0
-    if eq_mask is not None:
-        delta_eq = 1e-3 * jnp.max(jnp.abs(jnp.diagonal(K_reg)))
-        h = h + jnp.asarray(eq_mask, K_reg.dtype) * delta_eq
-    hinv = 1.0 / h
-    S = Pt + A.T @ (hinv[:, None] * A)
-    LS = jnp.linalg.cholesky(S)
-    ok = jnp.all(jnp.isfinite(LS)) & jnp.all(h > 0)
-    return ("schur_diag", (hinv, LS, A, n)), ok
-
-
-def prepare_schur_diag(P, A, hs_diag, settings):
-    """Fully structured diagonal-H KKT preparation: the KKT matrix is never
-    materialized.  Returns (factors, matvec, ok) where ``matvec`` applies
-    the *unregularized* K for iterative refinement.
+    the reference uses for its static regularization,
+    directldlkktsolver.rs:266-321).
     """
     n = P.shape[0]
+    maxdiag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(P)), initial=0.0),
+        jnp.max(hs_diag, initial=0.0),
+    )
     if settings.static_regularization_enable:
-        maxdiag = jnp.maximum(
-            jnp.max(jnp.abs(jnp.diagonal(P)), initial=0.0),
-            jnp.max(hs_diag, initial=0.0),
-        )
         eps = (
             settings.static_regularization_constant
             + settings.static_regularization_proportional * maxdiag
@@ -133,6 +119,9 @@ def prepare_schur_diag(P, A, hs_diag, settings):
         eps = 0.0
 
     h = hs_diag + eps
+    if eq_mask is not None:
+        delta_eq = 1e-3 * maxdiag
+        h = h + jnp.asarray(eq_mask, P.dtype) * delta_eq
     hinv = 1.0 / h
     S = P + eps * jnp.eye(n, dtype=P.dtype) + A.T @ (hinv[:, None] * A)
     LS = jnp.linalg.cholesky(S)
@@ -147,10 +136,76 @@ def prepare_schur_diag(P, A, hs_diag, settings):
     return ("schur_diag", (hinv, LS, A, n)), matvec, ok
 
 
+def prepare_schur_diag_rowsharded(P, A, hs_diag, settings, eq_mask, mesh, axis):
+    """Row-sharded variant of :func:`prepare_schur_diag` with the
+    communication pattern fixed *by construction* via ``shard_map``:
+
+      - S = P̃ + Σ_k A_kᵀ H_k⁻¹ A_k assembles as one per-shard weighted
+        Gram matmul + an explicit ``psum`` over the row axis (SURVEY §5.8:
+        Schur-complement reduction across KKT blocks);
+      - Aᵀv products psum the per-shard partials; A·v stays local;
+      - A is NEVER all-gathered — each device holds only its row block.
+
+    The [n, n] Schur factorization is replicated.  ``mesh``/``axis`` name
+    the row-sharding axis; everything here runs inside the jitted solve.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    shard_map = jax.shard_map
+
+    n = P.shape[0]
+    maxdiag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(P)), initial=0.0),
+        jnp.max(hs_diag, initial=0.0),
+    )
+    if settings.static_regularization_enable:
+        eps = (
+            settings.static_regularization_constant
+            + settings.static_regularization_proportional * maxdiag
+        )
+    else:
+        eps = 0.0
+    h = hs_diag + eps
+    if eq_mask is not None:
+        h = h + jnp.asarray(eq_mask, P.dtype) * (1e-3 * maxdiag)
+    hinv = 1.0 / h
+
+    gram = shard_map(
+        lambda Ab, hb: jax.lax.psum(Ab.T @ (hb[:, None] * Ab), axis),
+        mesh=mesh, in_specs=(PS(axis, None), PS(axis)), out_specs=PS(),
+    )
+    _at = shard_map(
+        lambda Ab, vb: jax.lax.psum(Ab.T @ vb, axis),
+        mesh=mesh, in_specs=(PS(axis, None), PS(axis)), out_specs=PS(),
+    )
+    _a = shard_map(
+        lambda Ab, v: Ab @ v,
+        mesh=mesh, in_specs=(PS(axis, None), PS()), out_specs=PS(axis),
+    )
+    at_v = lambda v: _at(A, v)
+    a_v = lambda v: _a(A, v)
+
+    S = P + eps * jnp.eye(n, dtype=P.dtype) + gram(A, hinv)
+    LS = jnp.linalg.cholesky(S)
+    ok = jnp.all(jnp.isfinite(LS)) & jnp.all(h > 0)
+
+    def matvec(v):
+        v1, v2 = v[:n], v[n:]
+        return jnp.concatenate([P @ v1 + at_v(v2), a_v(v1) - hs_diag * v2])
+
+    return ("schur_diag_sh", (hinv, LS, at_v, a_v, n)), matvec, ok
+
+
 def _raw_solve(factors, rhs):
     kind, data = factors
     if kind == "lu":
         return jsl.lu_solve(data, rhs)
+    if kind == "schur_diag_sh":
+        hinv, LS, at_v, a_v, n = data
+        b1, b2 = rhs[:n], rhs[n:]
+        x1 = jsl.cho_solve((LS, True), b1 + at_v(hinv * b2))
+        x2 = hinv * (a_v(x1) - b2)
+        return jnp.concatenate([x1, x2])
     if kind == "mf":
         from . import sparse as kkt_sparse
 

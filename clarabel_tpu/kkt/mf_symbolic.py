@@ -59,6 +59,23 @@ def nested_dissection_ordering(
     """
     n = pattern.shape[0]
     adj = (pattern + pattern.T).tocsr()
+
+    # AMD-style dense-row handling (reference: QDLDLSettings::amd_dense_scale,
+    # qdldl.rs:31-40): near-dense vertices (coupling rows, sparse-cone
+    # expansion columns) collapse RCM's level structure and induce a huge
+    # dense trailing triangle.  Strip them, order the remainder, and
+    # eliminate the dense vertices last (they form the top separator).
+    deg = np.diff(adj.indptr)
+    dense_cut = max(64, int(10.0 * np.sqrt(n)))
+    dense_v = np.where(deg >= dense_cut)[0]
+    if 0 < dense_v.size < n // 2:
+        keep = np.ones(n, bool)
+        keep[dense_v] = False
+        keep_ids = np.where(keep)[0]
+        sub = adj[keep_ids][:, keep_ids].tocsc()
+        order_sub = nested_dissection_ordering(sub, leaf)
+        return np.concatenate([keep_ids[order_sub], dense_v])
+
     try:
         from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -280,6 +297,37 @@ def _panel_cells(c: int, r: int) -> int:
     return c * r - (c * (c - 1)) // 2
 
 
+def _split_wide(nodes: List[_SNode], max_cols: int) -> None:
+    """Split fundamental supernodes wider than ``max_cols`` into a chain of
+    pivot panels (the trailing columns become the parent panel; its rows
+    are dense below the diagonal within a supernode, so the split pattern
+    is exact).  Backstop for dense trailing triangles that exceed the
+    padding menu / VMEM budget."""
+    for idx in range(len(nodes)):
+        nd = nodes[idx]
+        if not nd.alive or nd.cols.size <= max_cols:
+            continue
+        cur, cur_idx = nd, idx
+        while cur.cols.size > max_cols:
+            rest = cur.cols[max_cols:]
+            new = _SNode(
+                cols=rest,
+                rows=cur.rows,
+                children=[cur_idx],
+                parent=cur.parent,
+            )
+            nodes.append(new)
+            ni = len(nodes) - 1
+            if cur.parent >= 0:
+                pc = nodes[cur.parent].children
+                pc[pc.index(cur_idx)] = ni
+            cur.cols = cur.cols[:max_cols]
+            # rows are sorted: rest (> all kept cols) then original rows
+            cur.rows = np.concatenate([rest, cur.rows])
+            cur.parent = ni
+            cur, cur_idx = new, ni
+
+
 def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
     """Relaxed amalgamation (CHOLMOD-style): merge a child supernode into
     its parent when the cumulative explicit-zero fraction of the merged
@@ -317,10 +365,23 @@ def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
         c_m = nd.cols.size + pn.cols.size
         if c_m > max_cols:
             continue
-        m_cols = np.union1d(nd.cols, pn.cols)
-        m_rows = np.setdiff1d(
-            np.union1d(nd.rows, pn.rows), m_cols, assume_unique=False
-        )
+        # set algebra on sorted arrays via C-level sort/searchsorted —
+        # union1d/setdiff1d call overhead dominates the whole analysis on
+        # patterns with many singleton supernodes (e.g. identity A blocks)
+        m_cols = np.concatenate([nd.cols, pn.cols])  # disjoint column sets
+        m_cols.sort()
+        rows_u = np.concatenate([nd.rows, pn.rows])
+        rows_u.sort()
+        if rows_u.size:
+            keep = np.empty(rows_u.size, bool)
+            keep[0] = True
+            np.not_equal(rows_u[1:], rows_u[:-1], out=keep[1:])
+            rows_u = rows_u[keep]
+            pos = np.searchsorted(m_cols, rows_u)
+            pos[pos == m_cols.size] = 0  # clamp; compare catches mismatch
+            m_rows = rows_u[m_cols[pos] != rows_u]
+        else:
+            m_rows = rows_u
         cells_m = _panel_cells(m_cols.size, m_cols.size + m_rows.size)
         nz_m = nz[s] + nz[p]
         zfrac = 1.0 - nz_m / max(cells_m, 1)
@@ -434,6 +495,7 @@ def analyze(
         parent, L_ptr, L_idx = symbolic_factor_csc(N, s_ptr, s_idx)
 
         nodes = _fundamental_supernodes(N, parent, L_ptr, L_idx)
+        _split_wide(nodes, max_supernode_cols)
         _amalgamate(nodes, max_supernode_cols, relax_frac)
 
         live = [i for i, nd in enumerate(nodes) if nd.alive]

@@ -35,6 +35,11 @@ from ..cones import ops as cone_ops
 from . import mf_symbolic, multifrontal
 
 
+#: SOC cones above this dimension use the rank-2 sparse expansion
+#: (reference: socone.rs:46 SOC_NO_EXPANSION_MAX_SIZE = 4)
+SOC_NO_EXPANSION_MAX_SIZE = 4
+
+
 @dataclasses.dataclass
 class SparseKKT:
     """Static sparse-KKT structure: shapes, the multifrontal plan, and the
@@ -43,9 +48,11 @@ class SparseKKT:
     plan: mf_symbolic.MFPlan
     n: int
     m: int
-    N: int
+    N: int  # n + m + pdim (sparse-cone expansion rows included)
     nnz: int
     np_arrays: Dict[str, np.ndarray]
+    soc_expanded: tuple = ()
+    genpow_expanded: bool = False
 
     def device_data(self, dtype, device=None):
         """Stage every index array (plan + assembly maps) onto ``device``
@@ -67,15 +74,27 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
     (cone-permuted) A.  reference: kkt_assembly.rs:20-52 (structure),
     qdldl.rs:433-464 + :905-922 (symbolic phase, via mf_symbolic)."""
     m = layout.m
-    N = n + m
 
-    hs_r, hs_c = cone_ops.hs_lower_coords(layout)
+    # sparse-cone low-rank expansions: big SOCs get the rank-2 form, all
+    # genpow cones the rank-3 form (the reference always expands genpow;
+    # genpowcone.rs:165-167 Hs_is_diagonal = true)
+    soc_expanded = tuple(
+        d > SOC_NO_EXPANSION_MAX_SIZE for d in layout.soc_dims
+    )
+    genpow_expanded = layout.num_genpow > 0
+
+    hs_r, hs_c = cone_ops.hs_lower_coords(layout, soc_expanded, genpow_expanded)
+    exp_r, exp_c, ext_signs = cone_ops.expansion_coords(
+        layout, soc_expanded, genpow_expanded
+    )
+    pdim = ext_signs.shape[0]
+    N = n + m + pdim
 
     P_tril_sel = np.where(P_rows >= P_cols)[0].astype(np.int32)
     diag = np.arange(N, dtype=np.int64)
 
-    groups_r = [P_rows[P_tril_sel], A_rows + n, hs_r + n, diag]
-    groups_c = [P_cols[P_tril_sel], A_cols, hs_c + n, diag]
+    groups_r = [P_rows[P_tril_sel], A_rows + n, hs_r + n, exp_r + n, diag]
+    groups_c = [P_cols[P_tril_sel], A_cols, hs_c + n, exp_c + n, diag]
     lens = [len(g) for g in groups_r]
     all_r = np.concatenate(groups_r).astype(np.int64)
     all_c = np.concatenate(groups_c).astype(np.int64)
@@ -93,7 +112,8 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
     map_P = inverse[off[0] : off[1]].astype(np.int32)
     map_A = inverse[off[1] : off[2]].astype(np.int32)
     map_hs = inverse[off[2] : off[3]].astype(np.int32)
-    map_diag = inverse[off[3] : off[4]].astype(np.int32)
+    map_exp = inverse[off[3] : off[4]].astype(np.int32)
+    map_diag = inverse[off[4] : off[5]].astype(np.int32)
 
     strict_sel = np.where(K_rows != K_cols)[0].astype(np.int32)
 
@@ -105,9 +125,9 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         (np.ones(nnz), K_rows.astype(np.int64), indptr), shape=(N, N)
     )
 
-    # expected pivot signs: +1 variables, -1 constraints
-    # (directldlkktsolver.rs:392-405)
-    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    # expected pivot signs: +1 variables, -1 constraints, per-expansion
+    # extras (directldlkktsolver.rs:392-405, datamaps.rs Dsigns)
+    dsigns = np.concatenate([np.ones(n), -np.ones(m), ext_signs])
 
     plan = mf_symbolic.analyze(
         K_low, dsigns, ordering=ordering, max_supernode_cols=max_supernode_cols
@@ -117,6 +137,7 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         "kkt:map_P": map_P,
         "kkt:map_A": map_A,
         "kkt:map_hs": map_hs,
+        "kkt:map_exp": map_exp,
         "kkt:map_diag": map_diag,
         "kkt:P_tril_sel": P_tril_sel,
         "kkt:K_rows": K_rows,
@@ -124,17 +145,21 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         "kkt:strict_sel": strict_sel,
         "kkt:dsigns": dsigns,
     }
-    return SparseKKT(plan=plan, n=n, m=m, N=N, nnz=nnz, np_arrays=np_arrays)
+    return SparseKKT(
+        plan=plan, n=n, m=m, N=N, nnz=nnz, np_arrays=np_arrays,
+        soc_expanded=soc_expanded, genpow_expanded=genpow_expanded,
+    )
 
 
 # ----------------------------------------------------------------------
 # device-side (jit-traced) operations
 # ----------------------------------------------------------------------
 
-def assemble(ctx: SparseKKT, data, P, A, hs_vals, settings):
+def assemble(ctx: SparseKKT, data, P, A, hs_vals, exp_vals, settings):
     """(K_true_vals, K_reg_vals) in canonical CSC order.  ``P``/``A`` are
     COOMat (P full-symmetric) in the exact COO order given to
-    :func:`build`.  Static regularization by expected sign mirrors
+    :func:`build`; ``exp_vals`` the sparse-cone expansion entries.
+    Static regularization by expected sign mirrors
     directldlkktsolver.rs:217-264."""
     dtype = P.data.dtype
     K = jnp.zeros(ctx.nnz, dtype)
@@ -142,6 +167,9 @@ def assemble(ctx: SparseKKT, data, P, A, hs_vals, settings):
     K = K.at[data["kkt:map_A"]].add(A.data)
     if hs_vals.shape[0]:
         K = K.at[data["kkt:map_hs"]].add(-hs_vals)
+    if exp_vals.shape[0]:
+        # expansion entries carry their own signs (datamaps.rs update fns)
+        K = K.at[data["kkt:map_exp"]].add(exp_vals)
 
     if settings.static_regularization_enable:
         dvals = K[data["kkt:map_diag"]]

@@ -314,6 +314,22 @@ def calc_step_length(layout, state, step, variables, settings, is_combined, scal
     return alpha
 
 
+def solve_kkt_refined(factors, K_true, rhs, settings):
+    """Refined KKT solve, transparently lifting to the sparse-cone-expanded
+    system when the multifrontal backend carries extension rows: the
+    augmented system [K  E; Eᵀ D][x; y] = [rhs; 0] solves the original
+    K_hs x = rhs exactly (reference: datamaps.rs expansion semantics)."""
+    if factors[0] == "mf":
+        ctx = factors[1][0]
+        pad = ctx.N - rhs.shape[0]
+        if pad > 0:
+            base = rhs.shape[0]
+            rhs = jnp.concatenate([rhs, jnp.zeros(pad, rhs.dtype)])
+            sol, ok = kkt_dense.solve_refined(factors, K_true, rhs, settings)
+            return sol[:base], ok
+    return kkt_dense.solve_refined(factors, K_true, rhs, settings)
+
+
 def kkt_solve(
     layout, scaling_state, factors, K_true, P, q, A, b, x2, z2,
     rhs, variables, settings, is_combined,
@@ -335,7 +351,7 @@ def kkt_solve(
 
     workz = ds_const - rz
 
-    sol, ok = kkt_dense.solve_refined(
+    sol, ok = solve_kkt_refined(
         factors, K_true, jnp.concatenate([rx, workz]), settings
     )
     x1, z1 = sol[:n], sol[n:]
@@ -400,7 +416,7 @@ def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
 
 
 def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
-                 sparse_kkt=None):
+                 sparse_kkt=None, row_shard=None):
     """Build KKT factors for the current scaling state.
 
     Returns (factors, K_true, ok) where K_true is a dense matrix or matvec
@@ -416,18 +432,43 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
         from .kkt import sparse as kkt_sparse
 
         ctx, data = sparse_kkt
-        hs_vals = cone_ops.hs_lower_vals(layout, scaling_state, dtype)
-        Kvals, Kreg = kkt_sparse.assemble(ctx, data, P, A, hs_vals, settings)
+        hs_vals = cone_ops.hs_lower_vals(
+            layout, scaling_state, dtype, ctx.soc_expanded, ctx.genpow_expanded
+        )
+        exp_vals = cone_ops.expansion_vals(
+            layout, scaling_state, dtype, ctx.soc_expanded, ctx.genpow_expanded
+        )
+        Kvals, Kreg = kkt_sparse.assemble(
+            ctx, data, P, A, hs_vals, exp_vals, settings
+        )
         mff, ok = kkt_sparse.factor(ctx, data, Kreg, settings)
         K_true = lambda v: kkt_sparse.sym_matvec(ctx, data, Kvals, v)
         return ("mf", (ctx, data, mff)), K_true, ok
 
     method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
 
-    # NB: a fully structured (assembly-free) variant exists in
-    # kkt_dense.prepare_schur_diag, but XLA TPU currently compiles the
-    # closure-matvec refinement loop pathologically slowly; the assembled
-    # diagonal-Schur factorization is equally fast at runtime.
+    if method == "schur_diag":
+        # fully structured throughput path: neither the dense Hs nor the
+        # (n+m)^2 K is ever materialized — diag(Hs) feeds the weighted
+        # Gram Schur factor and refinement uses the closure matvec
+        import numpy as _np
+
+        hs_d = cone_ops.hs_diag(layout, scaling_state, dtype)
+        eq_mask = None
+        if layout.n_zero:
+            eq_mask = _np.zeros(layout.m, _np.float32)
+            eq_mask[: layout.n_zero] = 1.0  # zero cones lead the row order
+        if row_shard is not None:
+            mesh, axis = row_shard
+            factors, matvec, ok = kkt_dense.prepare_schur_diag_rowsharded(
+                P, A, hs_d, settings, eq_mask, mesh, axis
+            )
+        else:
+            factors, matvec, ok = kkt_dense.prepare_schur_diag(
+                P, A, hs_d, settings, eq_mask
+            )
+        return factors, matvec, ok
+
     Hs = cone_ops.hs_dense(layout, scaling_state, dtype)
     K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
     factors, ok = _make_factor_fn(layout, settings, dtype, n, use_pallas, method)(
@@ -457,14 +498,6 @@ def _make_factor_fn(layout, settings, dtype, n, use_pallas=False, method=None):
     # the reference's LDL-on-the-full-KKT approach.
     if method is None:
         method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
-    if method == "schur_diag":
-        import numpy as _np
-
-        eq_mask = None
-        if layout.n_zero:
-            eq_mask = _np.zeros(layout.m, _np.float32)
-            eq_mask[: layout.n_zero] = 1.0  # zero cones lead the row order
-        return lambda K_reg: kkt_dense.factor_schur_diag(K_reg, n, eq_mask)
     if method == "pallas":
         from .kkt import pallas_ldl
 
@@ -475,7 +508,7 @@ def _make_factor_fn(layout, settings, dtype, n, use_pallas=False, method=None):
 
 
 def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
-                  use_pallas=False, sparse_kkt=None):
+                  use_pallas=False, sparse_kkt=None, row_shard=None):
     """Initial iterate.  reference: solver.rs:525-541, kktsystem.rs:211-259,
     variables.rs:164-178, 231-256."""
     n, m = q.shape[0], b.shape[0]
@@ -489,23 +522,23 @@ def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
     state0 = cone_ops.set_identity_scaling(layout, dtype)
     factors, K, _ = _kkt_prepare(
         layout, settings, dtype, n, use_pallas, P, A, state0,
-        sparse_kkt=sparse_kkt,
+        sparse_kkt=sparse_kkt, row_shard=row_shard,
     )
 
     if p_is_zero:
         # LP initialization (kktsystem.rs:219-245)
-        sol1, _ = kkt_dense.solve_refined(
+        sol1, _ = solve_kkt_refined(
             factors, K, jnp.concatenate([jnp.zeros(n, dtype), b]), settings
         )
         x = sol1[:n]
         s = -sol1[n:]
-        sol2, _ = kkt_dense.solve_refined(
+        sol2, _ = solve_kkt_refined(
             factors, K, jnp.concatenate([-q, jnp.zeros(m, dtype)]), settings
         )
         z = sol2[n:]
     else:
         # QP initialization (kktsystem.rs:246-257)
-        sol, _ = kkt_dense.solve_refined(
+        sol, _ = solve_kkt_refined(
             factors, K, jnp.concatenate([-q, b]), settings
         )
         x = sol[:n]
@@ -536,7 +569,8 @@ def _shift_to_cone_interior(layout, v, pd):
 
 
 def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
-            callback=None, use_pallas=False, warm_start=None, sparse_kkt=None):
+            callback=None, use_pallas=False, warm_start=None, sparse_kkt=None,
+            row_shard=None):
     """The main loop.  Returns the final SolverState.
 
     ``callback``, when given, is a host function (dict of scalars) -> bool
@@ -563,7 +597,7 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
     else:
         x, s, z, tau, kappa = default_start(
             layout, settings, P, q, A, b, p_is_zero, dtype, use_pallas,
-            sparse_kkt=sparse_kkt,
+            sparse_kkt=sparse_kkt, row_shard=row_shard,
         )
 
     f = lambda v: jnp.asarray(v, dtype)
@@ -685,9 +719,9 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
             # --- KKT update + constant-term solve (kktsystem.rs:108-125)
             factors, K, ok_f = _kkt_prepare(
                 layout, settings, dtype, n, use_pallas, P, A, scaling_state,
-                sparse_kkt=sparse_kkt,
+                sparse_kkt=sparse_kkt, row_shard=row_shard,
             )
-            sol_c, ok_c = kkt_dense.solve_refined(
+            sol_c, ok_c = solve_kkt_refined(
                 factors, K, jnp.concatenate([-q, b]), settings
             )
             x2, z2 = sol_c[:n], sol_c[n:]

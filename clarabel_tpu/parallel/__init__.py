@@ -1,4 +1,5 @@
+from . import distributed
 from .batch import BatchSolver, BatchSolution
 from .sharded import ShardedRowSolver
 
-__all__ = ["BatchSolver", "BatchSolution", "ShardedRowSolver"]
+__all__ = ["BatchSolver", "BatchSolution", "ShardedRowSolver", "distributed"]

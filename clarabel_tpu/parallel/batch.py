@@ -58,6 +58,24 @@ class BatchSolver:
     the cone layout.  The batch axis shards over ``mesh`` (a 1-D
     ``jax.sharding.Mesh``) when given; otherwise a mesh over all local
     devices of the target backend is used when the batch divides evenly.
+
+    Semantics contract vs :class:`~clarabel_tpu.solver.DefaultSolver`
+    (the deliberate divergences; everything else — statuses, tolerances,
+    certificates, scaling strategies — is the same jitted core):
+
+    - **No row-reduction presolve.** Presolve is value-dependent and would
+      fragment the batch into per-instance shapes; b is capped at the
+      infinity bound instead.  Identical results unless an instance has
+      fully redundant rows, where the reference/DefaultSolver may converge
+      in different iteration counts (statuses still agree on all oracle
+      problems).
+    - **No chordal decomposition** (shape-changing, PSD-specific).
+    - **No termination callbacks and no wall-clock time limit** — a host
+      callback would serialize the vmapped loop; MaxIterations bounds the
+      batch instead.
+    - **Per-lane freezing**: converged instances stop updating while the
+      batch runs to collective completion, so per-lane `iterations` are
+      exact even though wall-clock is max-of-batch.
     """
 
     def __init__(
@@ -134,6 +152,28 @@ class BatchSolver:
         if mesh is not None:
             self._mesh = mesh
             axis = mesh.axis_names[0]
+            if len(mesh.axis_names) == 2:
+                # 2-D (batch x rows) mesh: the batch dimension shards over
+                # the first axis and the constraint rows of A/b over the
+                # second — the scenario-batch x Schur-partition product
+                # (SURVEY §2.9 / §5.8); P stays replicated along rows
+                raxis = mesh.axis_names[1]
+                shardings = (
+                    NamedSharding(mesh, PSpec(axis, None, None)),   # P
+                    NamedSharding(mesh, PSpec(axis, None)),         # q
+                    NamedSharding(mesh, PSpec(axis, raxis, None)),  # A
+                    NamedSharding(mesh, PSpec(axis, raxis)),        # b
+                )
+                self._solve_fn = jax.jit(batched, in_shardings=shardings)
+                puts = [
+                    lambda v, s=s: jax.device_put(np.asarray(v, self._dtype), s)
+                    for s in shardings
+                ]
+                self._P, self._q, self._A, self._b = (
+                    puts[0](P), puts[1](q), puts[2](A), puts[3](b)
+                )
+                self._put = puts[1]
+                return
             data_sharding = NamedSharding(mesh, PSpec(axis))
             self._solve_fn = jax.jit(
                 batched,

@@ -68,24 +68,48 @@ class ShardedRowSolver:
         A, _ = _solver._to_dense(A, "A")
         P = _solver._symmetrize_triu(P)
 
-        cones_int = api.collapse_cones(tuple(cones))
+        cones_int = list(api.collapse_cones(tuple(cones)))
         b = np.minimum(b, get_infinity())
-        self._layout = ConeLayout(cones_int)
+
+        n, m_user = q.shape[0], b.shape[0]
+        self.n, self.m = n, m_user
+        ndev = mesh.devices.size
+
+        # pad the row dimension to a multiple of the mesh size with free
+        # nonnegative rows (0·x + s = 1, s >= 0): structurally inert, so
+        # uneven problems shard without user-side surgery
+        pad = (-m_user) % ndev
+        self._row_pad = pad
+        if pad:
+            A = np.vstack([A, np.zeros((pad, n))])
+            b = np.concatenate([b, np.ones(pad)])
+            cones_int.append(api.ConeSpec(api.NONNEGATIVE, pad))
+
+        self._layout = ConeLayout(tuple(cones_int))
         perm = self._layout.perm
         A = A[perm, :]
         b = b[perm]
 
-        n, m = q.shape[0], b.shape[0]
-        self.n, self.m = n, m
-        ndev = mesh.devices.size
-        if m % ndev != 0:
-            raise ValueError(
-                f"constraint dimension {m} must divide the mesh size {ndev} "
-                "(pad with free rows or adjust the mesh)"
-            )
+        # diagonal-Hs layouts (zero/NN cones) take the shard_map Schur
+        # path: the A'H⁻¹A Gram reduction is an explicit per-shard matmul
+        # + psum and A is never gathered (kkt/dense.py
+        # prepare_schur_diag_rowsharded).  Other layouts fall back to
+        # GSPMD propagation through the dense factorization.
+        diag_hs = (
+            self._layout.m_soc == 0
+            and self._layout.num_exp == 0
+            and self._layout.num_pow == 0
+            and self._layout.num_genpow == 0
+            and self._layout.num_psd == 0
+        )
+        row_shard = (mesh, axis) if (
+            diag_hs and np.dtype(dtype) == np.float32
+        ) else None
+        self._explicit_collectives = row_shard is not None
 
         core = _solver.build_solve_core(
-            self._layout, self.settings, n, not np.any(P), dtype
+            self._layout, self.settings, n, not np.any(P), dtype,
+            row_shard=row_shard,
         )
 
         row = NamedSharding(mesh, PSpec(axis))
@@ -107,10 +131,14 @@ class ShardedRowSolver:
         out = jax.tree.map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 
-        z = np.empty(self.m, np.float64)
-        s = np.empty(self.m, np.float64)
+        m_total = self._layout.m
+        z = np.empty(m_total, np.float64)
+        s = np.empty(m_total, np.float64)
         z[self._layout.perm] = out["z"]
         s[self._layout.perm] = out["s"]
+        # drop the shard-padding rows (appended after the user cones)
+        z = z[: self.m]
+        s = s[: self.m]
 
         return _solver.DefaultSolution(
             x=np.asarray(out["x"], np.float64),

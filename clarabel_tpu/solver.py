@@ -67,6 +67,21 @@ class EquilibrationData:
 
 
 @dataclasses.dataclass
+class LinearSolverInfo:
+    """Which KKT backend actually runs, and its dimensions.
+
+    reference: kktsolvers/mod.rs:27-38 (LinearSolverInfo {name, threads,
+    direct, nnzA, nnzL}); ``threads`` has no analog here — XLA owns the
+    parallelism."""
+
+    name: str = "none"
+    direct: bool = True
+    nnzA: int = 0
+    nnzL: int = 0
+    dim: int = 0  # KKT dimension, including sparse-cone expansion rows
+
+
+@dataclasses.dataclass
 class DefaultInfo:
     """Progress information from the final iteration.  reference: info.rs:13-64"""
 
@@ -85,6 +100,9 @@ class DefaultInfo:
     ktratio: float = float("nan")
     solve_time: float = 0.0
     status: SolverStatus = SolverStatus.Unsolved
+    linear_solver: LinearSolverInfo = dataclasses.field(
+        default_factory=LinearSolverInfo
+    )
 
 
 def _to_dense(M, name: str):
@@ -143,7 +161,7 @@ def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
 def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
                      n: int, p_is_zero: bool, dtype_name: str,
                      callback=None, use_pallas: bool = False,
-                     warm: bool = False, sparse_ctx=None):
+                     warm: bool = False, sparse_ctx=None, row_shard=None):
     """The un-jitted single-problem solve function (P, q, A, b) -> outputs.
 
     Pure and fixed-shape: suitable for jit, vmap (problem batches) and
@@ -190,6 +208,7 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             sparse_kkt=(
                 (sparse_ctx, skkt_data) if sparse_ctx is not None else None
             ),
+            row_shard=row_shard,
         )
 
         # ---- solution post-processing (solution.rs:68-111,
@@ -369,7 +388,7 @@ class DefaultSolver:
                     q, b, cones, dtype, device,
                 )
 
-        self.info = DefaultInfo()
+        self.info = DefaultInfo(linear_solver=self._linear_solver)
         self.solution: Optional[DefaultSolution] = None
         self.equilibration: Optional[EquilibrationData] = None
         self._callback = None
@@ -451,6 +470,19 @@ class DefaultSolver:
                 self._layout, self.settings, self._n_int,
                 self._p_is_zero, self._dtype, self._use_pallas,
             )
+
+        from .loop import _resolved_kkt_method
+
+        N = self._n_int + self.m
+        self._linear_solver = LinearSolverInfo(
+            name=_resolved_kkt_method(
+                self._layout, self.settings, jnp.dtype(self._dtype),
+                self._n_int, self._use_pallas,
+            ),
+            nnzA=int(self._A_csc.nnz),
+            nnzL=N * (N + 1) // 2,  # dense factor
+            dim=N,
+        )
 
     # ------------------------------------------------------------------
     def _setup_sparse(self, q, b, cones, dtype, device):
@@ -543,6 +575,13 @@ class DefaultSolver:
                 )
             )
 
+        self._linear_solver = LinearSolverInfo(
+            name="multifrontal",
+            nnzA=int(self._A_csc.nnz),
+            nnzL=int(self._skkt.plan.nnzL),
+            dim=self._skkt.N,
+        )
+
     # ------------------------------------------------------------------
     def solve(self, warm_start=None) -> DefaultSolution:
         """Solve the problem.
@@ -621,6 +660,7 @@ class DefaultSolver:
             ktratio=float(out["ktratio"]),
             solve_time=solve_time,
             status=status,
+            linear_solver=self._linear_solver,
         )
 
         if self.settings.verbose:
@@ -631,11 +671,11 @@ class DefaultSolver:
 
     # ------------------------------------------------------------------
     def _solve_warm(self, warm_start):
-        if self._chordal is not None or self._presolver is not None:
+        if self._chordal is not None:
             raise ValueError(
-                "warm starting is not supported with presolve reduction or "
-                "chordal decomposition; construct the solver with "
-                "presolve_enable=False / chordal_decomposition_enable=False"
+                "warm starting is not supported with chordal decomposition; "
+                "construct the solver with "
+                "chordal_decomposition_enable=False"
             )
         if isinstance(warm_start, DefaultSolution):
             x0, s0, z0 = warm_start.x, warm_start.s, warm_start.z
@@ -644,8 +684,19 @@ class DefaultSolver:
         x0 = np.asarray(x0, np.float64).ravel()
         s0 = np.asarray(s0, np.float64).ravel()
         z0 = np.asarray(z0, np.float64).ravel()
-        if x0.shape[0] != self.n or s0.shape[0] != self.m or z0.shape[0] != self.m:
+        if (
+            x0.shape[0] != self.n
+            or s0.shape[0] != self.m_full
+            or z0.shape[0] != self.m_full
+        ):
             raise ValueError("warm start has wrong dimensions")
+        if self._presolver is not None:
+            # map the user-frame iterate through the presolve reduction:
+            # eliminated rows carry s = inf, z = 0 and simply drop
+            # (presolver.rs:134-154 reversed)
+            keep = self._presolver.keep_logical
+            s0 = s0[keep]
+            z0 = z0[keep]
         perm = self._layout.perm
         put = lambda v: jax.device_put(np.asarray(v, self._dtype), self._device)
 

@@ -87,3 +87,29 @@ def test_presolve_disabled():
     # near-infinite bound degrades conditioning, so only the problem shape
     # is asserted here — eliminating such rows robustly is presolve's job
     assert solver.m == 6
+
+
+def test_warm_start_through_presolve_reduction():
+    """Warm starting composes with presolve: the user-frame iterate maps
+    through the row reduction (dropped rows carry s = inf, z = 0), so the
+    default-settings MPC/SQP re-solve loop works without disabling
+    presolve.  reference behavior: presolver.rs:134-154 reversal."""
+    import numpy as np
+    import clarabel_tpu as ct
+
+    P = np.eye(2)
+    q = np.array([1.0, 1.0])
+    A = np.vstack([np.eye(2), -np.eye(2)])
+    b = np.array([1e21, 1.0, 1.0, 1.0])  # row 0 above the inf bound
+    cones = [ct.NonnegativeConeT(4)]
+    solver = ct.DefaultSolver(P, q, A, b, cones,
+                              ct.DefaultSettings(verbose=False))
+    assert solver._presolver is not None and solver._presolver.is_reduced
+    cold = solver.solve()
+    assert cold.status == ct.SolverStatus.Solved
+    assert cold.s.shape == (4,)  # user frame, including the dropped row
+
+    warm = solver.solve(warm_start=cold)
+    assert warm.status == ct.SolverStatus.Solved
+    assert abs(warm.obj_val - cold.obj_val) < 1e-7
+    assert warm.iterations <= cold.iterations

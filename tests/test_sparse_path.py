@@ -107,6 +107,28 @@ def test_banded_qp_auto_selects_sparse():
     assert np.max(np.abs(x)) <= 1.0 + 1e-7
 
 
+def test_soc_rank2_expansion_matches_dense():
+    """SOC dims > 4 use the rank-2 sparse expansion (socone.rs:46,
+    datamaps.rs:112-221): two extension rows per cone instead of a dense
+    d x d Hs block, same solution."""
+    rng = np.random.default_rng(3)
+    d = 40
+    P = sp.eye(d, format="csc")
+    q = rng.standard_normal(d)
+    A = sp.vstack([sp.csc_matrix(np.ones((1, d))), -sp.eye(d)], format="csc")
+    b = np.concatenate([[1.0], np.zeros(d)])
+    cones = [ct.ZeroConeT(1), ct.SecondOrderConeT(d)]
+    solver = ct.DefaultSolver(P, q, A, b, cones, _mf())
+    assert solver._skkt.soc_expanded == (True,)
+    assert solver._skkt.N == d + 1 + d + 2  # n + m + 2 extension rows
+    r1 = solver.solve()
+    r2 = ct.DefaultSolver(P, q, A, b, cones,
+                          _settings(direct_solve_method="lu")).solve()
+    assert r1.status == r2.status == ct.SolverStatus.Solved
+    assert r1.obj_val == pytest.approx(r2.obj_val, abs=1e-7)
+    np.testing.assert_allclose(r1.x, r2.x, atol=1e-6)
+
+
 def test_sparse_infeasible_certificates():
     # primal infeasible: x <= -1 and x >= 1 (basic_lp.rs-style)
     P = sp.csc_matrix((1, 1))
@@ -173,3 +195,20 @@ def test_sparse_warm_start():
     assert warm.status == ct.SolverStatus.Solved
     assert warm.obj_val == pytest.approx(cold.obj_val, abs=1e-7)
     assert warm.iterations <= cold.iterations
+
+
+def test_linear_solver_introspection():
+    """solver.info names the backend that actually runs
+    (reference: kktsolvers/mod.rs:27-38 LinearSolverInfo)."""
+    P, q, A, b, cones = _qp_data()
+    s_mf = ct.DefaultSolver(P, q, A, b, cones, _mf())
+    assert s_mf.info.linear_solver.name == "multifrontal"
+    assert s_mf.info.linear_solver.nnzL == s_mf._skkt.plan.nnzL
+    assert s_mf.info.linear_solver.dim == s_mf._skkt.N
+
+    s_lu = ct.DefaultSolver(P, q, A, b, cones,
+                            _settings(direct_solve_method="lu"))
+    assert s_lu.info.linear_solver.name == "lu"
+    assert s_lu.info.linear_solver.nnzA == A.nnz
+    sol = s_lu.solve()
+    assert s_lu.info.linear_solver.name == "lu"  # survives the solve
