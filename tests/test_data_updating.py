@@ -144,3 +144,75 @@ def test_update_rejected_after_presolve():
     assert not solver.is_data_update_allowed()
     with pytest.raises(ValueError):
         solver.update_b(b)
+
+
+def test_update_A_vector_form():
+    """Full nzval-vector update of A (reference: data_updating.rs:142-163)."""
+    P, q, A, b, cones, settings = updating_data()
+    solver = ct.DefaultSolver(P, q, sp.csc_matrix(A), b, cones, settings)
+    solver.solve()
+
+    A_csc = sp.csc_matrix(A)
+    new_vals = A_csc.data.copy()
+    new_vals[1] = -1000.0  # second nonzero in CSC order
+    solver.update_A(new_vals)
+    s1 = solver.solve()
+
+    A2 = A_csc.copy()
+    A2.data[1] = -1000.0
+    s2 = _solve_fresh(P, q, A2.toarray(), b, cones, settings)
+    assert np.linalg.norm(s1.x - s2.x) <= 1e-7
+
+
+def test_update_q_tuple():
+    """(index, value) update of q (reference: data_updating.rs:213-232)."""
+    P, q, A, b, cones, settings = updating_data()
+    solver = ct.DefaultSolver(P, q, A, b, cones, settings)
+    solver.solve()
+
+    solver.update_q(([1], [-1000.0]))
+    s1 = solver.solve()
+
+    q2 = q.copy()
+    q2[1] = -1000.0
+    s2 = _solve_fresh(P, q2, A, b, cones, settings)
+    assert np.linalg.norm(s1.x - s2.x) <= 1e-7
+
+
+def test_update_noops():
+    """Zero-length tuple updates are accepted no-ops
+    (reference: data_updating.rs:280-307)."""
+    P, q, A, b, cones, settings = updating_data()
+    solver = ct.DefaultSolver(P, q, A, b, cones, settings)
+    s0 = solver.solve()
+
+    empty = (np.zeros(0, np.int64), np.zeros(0))
+    solver.update_P(empty)
+    solver.update_A(empty)
+    solver.update_q(empty)
+    solver.update_b(empty)
+    s1 = solver.solve()
+    assert np.linalg.norm(s1.x - s0.x) <= 1e-9
+
+
+def test_update_allowed_without_reduction():
+    """presolve_enable=True but no reducible rows -> updates stay allowed
+    (reference: presolver only engages when it reduces)."""
+    P, q, A, b, cones, _ = updating_data()
+    settings = ct.DefaultSettings(verbose=False)  # presolve enabled
+    solver = ct.DefaultSolver(P, q, A, b, cones, settings)
+    assert solver.is_data_update_allowed()
+    solver.update_q(np.zeros(2))
+    assert solver.solve().status == ct.SolverStatus.Solved
+
+
+def test_update_rejected_after_reduction():
+    P, q, A, b, cones, _ = updating_data()
+    b2 = b.copy()
+    b2[0] = 1e21  # presolve drops this row
+    settings = ct.DefaultSettings(verbose=False)
+    solver = ct.DefaultSolver(P, q, A, b2, cones, settings)
+    assert not solver.is_data_update_allowed()
+    import pytest
+    with pytest.raises(ValueError):
+        solver.update_b(b)
