@@ -535,6 +535,8 @@ def analyze(
     u_slot: Dict[int, Tuple[int, int, int]] = {}
     nnzL = 0
     flops = 0.0
+    # scratch: permuted-index -> front-local position for the current lane
+    posmap = np.full(N, -1, np.int64)
 
     for li in range(n_levels):
         sids = [s for s in live if level_of[s] == li]
@@ -566,18 +568,25 @@ def analyze(
                 # front row layout: pivot cols at 0..c-1, pad cols at
                 # c..c_pad-1, update rows from c_pad (must match the
                 # [c_pad | u_pad] split in the numeric kernels)
-                pos_of = {int(g): p for p, g in enumerate(nd.cols)}
-                pos_of.update(
-                    {int(g): cp + p for p, g in enumerate(nd.rows)}
-                )
-                for lj, j in enumerate(nd.cols):
-                    a, b_ = Kp.indptr[j], Kp.indptr[j + 1]
-                    rws = Kp.indices[a:b_]
-                    src = np.arange(a, b_, dtype=np.int64)
+                posmap[nd.cols] = np.arange(c)
+                posmap[nd.rows] = cp + np.arange(u)
+                # all KKT entries of this lane's pivot columns, vectorized
+                # over the ragged per-column ranges
+                starts = Kp.indptr[nd.cols]
+                counts = Kp.indptr[nd.cols + 1] - starts
+                total = int(counts.sum())
+                if total:
+                    cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                    src = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(cum0, counts)
+                        + np.repeat(starts, counts)
+                    )
+                    lj_e = np.repeat(np.arange(c, dtype=np.int64), counts)
                     dst = (
                         lane * rp * rp
-                        + np.asarray([pos_of[int(r)] for r in rws], np.int64) * rp
-                        + lj
+                        + posmap[Kp.indices[src]] * rp
+                        + lj_e
                     )
                     init_src.append(src)
                     init_dst.append(dst)
@@ -589,13 +598,13 @@ def analyze(
                         continue
                     sl, sb, slane = u_slot[ch]
                     cup = levels[sl][sb].u_pad
-                    ppos = np.asarray(
-                        [pos_of[int(r)] for r in cnd.rows], np.int64
-                    )
+                    ppos = posmap[cnd.rows]
                     ti, tj = np.tril_indices(cu)
                     src = slane * cup * cup + ti * cup + tj
                     dst = lane * rp * rp + ppos[ti] * rp + ppos[tj]
                     asm_groups.setdefault((sl, sb), []).append((src, dst))
+                posmap[nd.cols] = -1
+                posmap[nd.rows] = -1
                 u_slot[s] = (li, bi, lane)
             arrays[key + ":cols_g"] = cols_g
             arrays[key + ":rows_g"] = rows_g
