@@ -141,9 +141,15 @@ def mf_factor(plan, arrays, Kvals, eps, delta):
 
 def mf_solve(plan, arrays, factors, rhs):
     """Solve K x = rhs with the computed factors (levelized forward /
-    diagonal / backward sweeps).  ``rhs``: [N] in the original frame."""
+    diagonal / backward sweeps).  ``rhs``: [N] or [N, r] in the original
+    frame — multiple right-hand sides ride the same sweeps (the IPM pairs
+    the constant and affine solves this way)."""
     dtype = rhs.dtype
-    x = jnp.concatenate([rhs[arrays["perm"]], jnp.zeros(1, dtype)])
+    single = rhs.ndim == 1
+    if single:
+        rhs = rhs[:, None]
+    r = rhs.shape[1]
+    x = jnp.concatenate([rhs[arrays["perm"]], jnp.zeros((1, r), dtype)])
 
     for li, lvl in enumerate(plan.levels):
         for bi, B in enumerate(lvl):
@@ -151,17 +157,17 @@ def mf_solve(plan, arrays, factors, rhs):
             cols = arrays[B.key + ":cols_g"]
             L11 = Lc[:, : B.c_pad, :]
             y = lax.linalg.triangular_solve(
-                L11, x[cols][..., None], left_side=True, lower=True,
+                L11, x[cols], left_side=True, lower=True,
                 unit_diagonal=True,
-            )[..., 0]
+            )
             x = x.at[cols].set(y)
             if B.u_pad:
                 L21 = Lc[:, B.c_pad :, :]
                 x = x.at[arrays[B.key + ":rows_g"]].add(
-                    -jnp.einsum("kuc,kc->ku", L21, y)
+                    -jnp.einsum("kuc,kcr->kur", L21, y)
                 )
 
-    x = x / factors["dvec"]
+    x = x / factors["dvec"][:, None]
 
     for li in range(len(plan.levels) - 1, -1, -1):
         for bi, B in enumerate(plan.levels[li]):
@@ -172,12 +178,13 @@ def mf_solve(plan, arrays, factors, rhs):
             if B.u_pad:
                 L21 = Lc[:, B.c_pad :, :]
                 v = v - jnp.einsum(
-                    "kuc,ku->kc", L21, x[arrays[B.key + ":rows_g"]]
+                    "kuc,kur->kcr", L21, x[arrays[B.key + ":rows_g"]]
                 )
             xc = lax.linalg.triangular_solve(
-                L11, v[..., None], left_side=True, lower=True,
+                L11, v, left_side=True, lower=True,
                 unit_diagonal=True, transpose_a=True,
-            )[..., 0]
+            )
             x = x.at[cols].set(xc)
 
-    return x[:-1][arrays["inv"]]
+    out = x[:-1][arrays["inv"]]
+    return out[:, 0] if single else out

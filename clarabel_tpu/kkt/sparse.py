@@ -186,12 +186,15 @@ def assemble(ctx: SparseKKT, data, P, A, hs_vals, exp_vals, settings):
 
 def sym_matvec(ctx: SparseKKT, data, Kvals, v):
     """y = K v with K given by its lower-triangle values (for iterative
-    refinement against the unregularized K; directldlkktsolver.rs:266-321)."""
+    refinement against the unregularized K; directldlkktsolver.rs:266-321).
+    ``v`` may be [N] or [N, r] (multi-RHS refinement)."""
     rows, cols = data["kkt:K_rows"], data["kkt:K_cols"]
-    y = jax.ops.segment_sum(Kvals * v[cols], rows, num_segments=ctx.N)
+    Kv = Kvals if v.ndim == 1 else Kvals[:, None]
+    y = jax.ops.segment_sum(Kv * v[cols], rows, num_segments=ctx.N)
     ssel = data["kkt:strict_sel"]
+    Ks = Kvals[ssel] if v.ndim == 1 else Kvals[ssel][:, None]
     y = y + jax.ops.segment_sum(
-        Kvals[ssel] * v[rows[ssel]], cols[ssel], num_segments=ctx.N
+        Ks * v[rows[ssel]], cols[ssel], num_segments=ctx.N
     )
     return y
 

@@ -318,28 +318,26 @@ def solve_kkt_refined(factors, K_true, rhs, settings):
     """Refined KKT solve, transparently lifting to the sparse-cone-expanded
     system when the multifrontal backend carries extension rows: the
     augmented system [K  E; Eᵀ D][x; y] = [rhs; 0] solves the original
-    K_hs x = rhs exactly (reference: datamaps.rs expansion semantics)."""
+    K_hs x = rhs exactly (reference: datamaps.rs expansion semantics).
+
+    ``rhs`` may be [N] or [N, r] on the multifrontal backend (multi-RHS
+    solves share the levelized sweeps)."""
     if factors[0] == "mf":
         ctx = factors[1][0]
         pad = ctx.N - rhs.shape[0]
         if pad > 0:
             base = rhs.shape[0]
-            rhs = jnp.concatenate([rhs, jnp.zeros(pad, rhs.dtype)])
+            zshape = (pad,) if rhs.ndim == 1 else (pad, rhs.shape[1])
+            rhs = jnp.concatenate([rhs, jnp.zeros(zshape, rhs.dtype)])
             sol, ok = kkt_dense.solve_refined(factors, K_true, rhs, settings)
             return sol[:base], ok
     return kkt_dense.solve_refined(factors, K_true, rhs, settings)
 
 
-def kkt_solve(
-    layout, scaling_state, factors, K_true, P, q, A, b, x2, z2,
-    rhs, variables, settings, is_combined,
-):
-    """Reduced 2-solve strategy for the homogeneous KKT system.
+def kkt_solve_rhs(layout, scaling_state, rhs, variables, is_combined):
+    """Assemble the reduced KKT right-hand side [rx; ds_const - rz].
 
-    reference: kktsystem.rs:127-209 — solve for (x1, z1), recover Δτ from the
-    closed form with P-quadratic terms, then Δx/Δz/Δs/Δκ.
-    """
-    n = q.shape[0]
+    reference: kktsystem.rs:127-158.  Returns (stacked_rhs, ds_const)."""
     x, s, z, tau, kappa = variables
     rx, rs, rz, rtau, rkappa = rhs
 
@@ -349,11 +347,17 @@ def kkt_solve(
     else:
         ds_const = s
 
-    workz = ds_const - rz
+    return jnp.concatenate([rx, ds_const - rz]), ds_const
 
-    sol, ok = solve_kkt_refined(
-        factors, K_true, jnp.concatenate([rx, workz]), settings
-    )
+
+def kkt_solve_finish(
+    layout, scaling_state, P, q, b, x2, z2, sol, ds_const, rhs, variables,
+):
+    """Recover the full direction from the reduced solve: Δτ closed form
+    with P-quadratic terms, then Δx/Δz/Δs/Δκ (kktsystem.rs:160-207)."""
+    n = q.shape[0]
+    x, s, z, tau, kappa = variables
+    rx, rs, rz, rtau, rkappa = rhs
     x1, z1 = sol[:n], sol[n:]
 
     # Δτ (kktsystem.rs:168-190)
@@ -378,7 +382,26 @@ def kkt_solve(
     # Δκ (kktsystem.rs:202-203)
     dkappa = -(rkappa + kappa * dtau) / tau
 
-    return (dx, ds, dz, dtau, dkappa), ok
+    return (dx, ds, dz, dtau, dkappa)
+
+
+def kkt_solve(
+    layout, scaling_state, factors, K_true, P, q, A, b, x2, z2,
+    rhs, variables, settings, is_combined,
+):
+    """Reduced 2-solve strategy for the homogeneous KKT system.
+
+    reference: kktsystem.rs:127-209 — solve for (x1, z1), recover Δτ from the
+    closed form with P-quadratic terms, then Δx/Δz/Δs/Δκ.
+    """
+    stacked, ds_const = kkt_solve_rhs(
+        layout, scaling_state, rhs, variables, is_combined
+    )
+    sol, ok = solve_kkt_refined(factors, K_true, stacked, settings)
+    step = kkt_solve_finish(
+        layout, scaling_state, P, q, b, x2, z2, sol, ds_const, rhs, variables
+    )
+    return step, ok
 
 
 def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
@@ -527,14 +550,18 @@ def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
 
     if p_is_zero:
         # LP initialization (kktsystem.rs:219-245)
-        sol1, _ = solve_kkt_refined(
-            factors, K, jnp.concatenate([jnp.zeros(n, dtype), b]), settings
-        )
+        rhs1 = jnp.concatenate([jnp.zeros(n, dtype), b])
+        rhs2 = jnp.concatenate([-q, jnp.zeros(m, dtype)])
+        if sparse_kkt is not None:  # share the levelized sweeps
+            joint, _ = solve_kkt_refined(
+                factors, K, jnp.stack([rhs1, rhs2], axis=1), settings
+            )
+            sol1, sol2 = joint[:, 0], joint[:, 1]
+        else:
+            sol1, _ = solve_kkt_refined(factors, K, rhs1, settings)
+            sol2, _ = solve_kkt_refined(factors, K, rhs2, settings)
         x = sol1[:n]
         s = -sol1[n:]
-        sol2, _ = solve_kkt_refined(
-            factors, K, jnp.concatenate([-q, jnp.zeros(m, dtype)]), settings
-        )
         z = sol2[n:]
     else:
         # QP initialization (kktsystem.rs:246-257)
@@ -721,14 +748,9 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
                 layout, settings, dtype, n, use_pallas, P, A, scaling_state,
                 sparse_kkt=sparse_kkt, row_shard=row_shard,
             )
-            sol_c, ok_c = solve_kkt_refined(
-                factors, K, jnp.concatenate([-q, b]), settings
-            )
-            x2, z2 = sol_c[:n], sol_c[n:]
-
             variables = (st.x, st.s, st.z, st.tau, st.kappa)
 
-            # --- affine step (variables.rs:67-78)
+            # --- affine step rhs (variables.rs:67-78)
             affine_rhs = (
                 r.rx,
                 cone_ops.affine_ds(layout, scaling_state, st.s),
@@ -736,9 +758,30 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
                 r.rtau,
                 st.tau * st.kappa,
             )
-            aff, ok_a = kkt_solve(
-                layout, scaling_state, factors, K, P, q, A, b, x2, z2,
-                affine_rhs, variables, settings, is_combined=False,
+            rhs_const = jnp.concatenate([-q, b])
+            rhs_aff, dsc_aff = kkt_solve_rhs(
+                layout, scaling_state, affine_rhs, variables,
+                is_combined=False,
+            )
+            if sparse_kkt is not None:
+                # the constant-term and affine reduced solves are
+                # independent: ride the levelized sweeps together as one
+                # 2-RHS multifrontal solve
+                joint, ok_ca = solve_kkt_refined(
+                    factors, K, jnp.stack([rhs_const, rhs_aff], axis=1),
+                    settings,
+                )
+                sol_c, sol_a = joint[:, 0], joint[:, 1]
+                ok_c = ok_a = ok_ca
+            else:
+                sol_c, ok_c = solve_kkt_refined(
+                    factors, K, rhs_const, settings
+                )
+                sol_a, ok_a = solve_kkt_refined(factors, K, rhs_aff, settings)
+            x2, z2 = sol_c[:n], sol_c[n:]
+            aff = kkt_solve_finish(
+                layout, scaling_state, P, q, b, x2, z2, sol_a, dsc_aff,
+                affine_rhs, variables,
             )
 
             alpha_aff = calc_step_length(

