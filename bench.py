@@ -243,6 +243,46 @@ def bench_sparse_mf(jax, ct, device):
          symbolic_setup_s=round(t_setup, 2))
 
 
+@_section("batched_sparse_qp")
+def bench_batched_sparse(jax, ct, device):
+    """vmapped multifrontal IPM: B structurally identical banded QPs
+    (MPC-style sparse dynamics) solved as one XLA computation."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(4)
+    B, n = 32, 1000
+    Ps, qs, bs = [], [], []
+    for _ in range(B):
+        main = 2.0 + rng.uniform(0.5, 1.5, n)
+        off = rng.uniform(-0.4, 0.4, n - 1)
+        Ps.append(sp.diags([main, off, off], [0, 1, -1], format="csc"))
+        qs.append(rng.standard_normal(n))
+        bs.append(np.ones(2 * n) + rng.uniform(0, 1, 2 * n))
+    A = sp.vstack([sp.eye(n), -sp.eye(n)], format="csc")
+    cones = [ct.NonnegativeConeT(2 * n)]
+    s = ct.DefaultSettings.for_float32(
+        direct_solve_method="multifrontal", verbose=False
+    )
+    solver = ct.SparseBatchSolver(
+        Ps, np.stack(qs), A, np.stack(bs), cones, s, dtype="float32",
+        device=device,
+    )
+    sol = solver.solve()  # compile
+    n_ok = int(sum(1 for st in sol.statuses() if st == ct.SolverStatus.Solved))
+    args = (solver._P, solver._q, solver._A, solver._b, solver._skkt_data)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = solver._solve_fn(*args)
+        out["status"].block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    _row("batched_sparse_qp_throughput", round(B / t, 2), "problems/s",
+         B=B, n=n, m=2 * n, N=solver._skkt.N,
+         nnzL=solver._skkt.plan.nnzL, solved=f"{n_ok}/{B}",
+         t_batch_ms=round(t * 1e3, 1))
+
+
 @_section("dense_lu_kkt")
 def bench_dense_lu(jax, ct, device):
     import jax.numpy as jnp
@@ -287,6 +327,7 @@ def main():
     bench_batched_sdp(jax, ct, device)
     bench_pallas_ldl(jax, ct, device)
     bench_sparse_mf(jax, ct, device)
+    bench_batched_sparse(jax, ct, device)
     bench_dense_lu(jax, ct, device)
 
     with open("BENCH_EXT.json", "w") as f:

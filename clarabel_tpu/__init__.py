@@ -24,7 +24,12 @@ from .cones.api import (
 )
 from .buildinfo import buildinfo, print_buildinfo
 from .infbound import default_infinity, get_infinity, set_infinity
-from .parallel import BatchSolution, BatchSolver, ShardedRowSolver
+from .parallel import (
+    BatchSolution,
+    BatchSolver,
+    ShardedRowSolver,
+    SparseBatchSolver,
+)
 from .settings import DefaultSettings, SettingsError
 from .solver import DefaultInfo, DefaultSolution, DefaultSolver
 from .statuses import SolverStatus
@@ -34,6 +39,7 @@ __version__ = "0.1.0"
 __all__ = [
     "DefaultSolver",
     "BatchSolver",
+    "SparseBatchSolver",
     "BatchSolution",
     "ShardedRowSolver",
     "DefaultSettings",

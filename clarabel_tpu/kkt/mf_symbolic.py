@@ -425,6 +425,10 @@ class MFBucket:
     node_ids: List[int]
     # key names into MFPlan.arrays
     key: str
+    # offset of this bucket's pivot block in the solve workspace (the
+    # workspace orders pivot slots bucket-contiguously so the triangular
+    # sweeps use dynamic slices instead of gathers/scatters)
+    w_off: int = 0
 
     @property
     def r_pad(self) -> int:
@@ -443,9 +447,47 @@ class MFPlan:
     # assembly instructions: per (level li, bucket bi) a list of groups
     # (src_level, src_bucket, src_key, dst_key) referencing arrays
     n_supernodes: int = 0
+    # solve-workspace size: Σ k·c_pad over buckets + 1 trailing dummy slot
+    W: int = 0
 
     def device_arrays(self):
         return dict(self.arrays)
+
+
+# per-group budget of *extra* padded front cells accepted to merge
+# different-sized fronts of a level into one batch (each bucket is a
+# separate dispatch chain on device — TPU time here is dominated by op
+# count, not flops, so fewer/fatter buckets win as long as the padding
+# waste stays bounded: 4M f32 cells = 16 MB and a comparable flop surcharge)
+_MERGE_EXTRA_CELLS = 4_000_000
+
+
+def _group_level(nodes, sids):
+    """Group a level's supernodes into padded batches.  One bucket per
+    level when the padding waste allows; large fronts open their own
+    bucket rather than inflating small ones past the cell budget."""
+    members = []
+    for s in sids:
+        nd = nodes[s]
+        cp = _pad_to(nd.cols.size, _CPAD_MENU)
+        up = _pad_to(nd.rows.size, _UPAD_MENU)
+        members.append((cp + up, cp, up, s))
+    members.sort(key=lambda t: (-t[0], -t[1], t[3]))
+    out: List[list] = []
+    for rp, cp, up, s in members:
+        placed = False
+        for g in out:
+            gcp, gup = g[0]
+            grp = gcp + gup
+            extra = float(grp * grp - rp * rp)
+            if cp <= gcp and up <= gup and g[2] + extra <= _MERGE_EXTRA_CELLS:
+                g[1].append(s)
+                g[2] += extra
+                placed = True
+                break
+        if not placed:
+            out.append([(cp, up), [s], 0.0])
+    return [(shape, mem) for shape, mem, _ in out]
 
 
 def analyze(
@@ -540,14 +582,8 @@ def analyze(
 
     for li in range(n_levels):
         sids = [s for s in live if level_of[s] == li]
-        by_bucket: Dict[Tuple[int, int], List[int]] = {}
-        for s in sids:
-            nd = nodes[s]
-            cp = _pad_to(nd.cols.size, _CPAD_MENU)
-            up = _pad_to(nd.rows.size, _UPAD_MENU)
-            by_bucket.setdefault((cp, up), []).append(s)
         lvl: List[MFBucket] = []
-        for bi, ((cp, up), members) in enumerate(sorted(by_bucket.items())):
+        for bi, ((cp, up), members) in enumerate(_group_level(nodes, sids)):
             key = f"L{li}B{bi}"
             k = len(members)
             rp = cp + up
@@ -609,28 +645,59 @@ def analyze(
             arrays[key + ":cols_g"] = cols_g
             arrays[key + ":rows_g"] = rows_g
             arrays[key + ":signs"] = signs
-            arrays[key + ":init_src"] = (
-                np.concatenate(init_src).astype(np.int32)
-                if init_src
-                else np.zeros(0, np.int32)
-            )
-            arrays[key + ":init_dst"] = (
-                np.concatenate(init_dst).astype(np.int32)
-                if init_dst
-                else np.zeros(0, np.int32)
-            )
+            # scatter maps sorted by destination: XLA's TPU scatter takes a
+            # faster path on sorted indices (flags set in the numeric kernel)
+            if init_src:
+                isrc = np.concatenate(init_src)
+                idst = np.concatenate(init_dst)
+                order = np.argsort(idst, kind="stable")
+                arrays[key + ":init_src"] = isrc[order].astype(np.int32)
+                arrays[key + ":init_dst"] = idst[order].astype(np.int32)
+            else:
+                arrays[key + ":init_src"] = np.zeros(0, np.int32)
+                arrays[key + ":init_dst"] = np.zeros(0, np.int32)
             asm_list = []
             for (sl, sb), pairs in sorted(asm_groups.items()):
-                src = np.concatenate([p[0] for p in pairs]).astype(np.int32)
-                dst = np.concatenate([p[1] for p in pairs]).astype(np.int32)
+                src = np.concatenate([p[0] for p in pairs])
+                dst = np.concatenate([p[1] for p in pairs])
+                order = np.argsort(dst, kind="stable")
                 akey = f"{key}:asm{sl}_{sb}"
-                arrays[akey + ":src"] = src
-                arrays[akey + ":dst"] = dst
+                arrays[akey + ":src"] = src[order].astype(np.int32)
+                arrays[akey + ":dst"] = dst[order].astype(np.int32)
                 asm_list.append((sl, sb, akey))
             b = MFBucket(c_pad=cp, u_pad=up, k=k, node_ids=members, key=key)
             b.asm = asm_list  # type: ignore[attr-defined]
             lvl.append(b)
         levels.append(lvl)
+
+    # --- solve workspace layout ------------------------------------------
+    # Pivot slots laid out bucket-contiguously (lane-major within a bucket)
+    # so the triangular sweeps address each bucket's block with one
+    # dynamic slice; only cross-level update-row contributions need real
+    # gathers/scatters.  A trailing dummy slot absorbs every padded index.
+    W = 0
+    ws = np.full(N + 1, -1, np.int64)
+    solve_cols: List[np.ndarray] = []
+    for lvl in levels:
+        for B in lvl:
+            B.w_off = W
+            cols = arrays[B.key + ":cols_g"].astype(np.int64).ravel()
+            slots = W + np.arange(cols.size, dtype=np.int64)
+            real = cols < N
+            ws[cols[real]] = slots[real]
+            solve_cols.append(cols)
+            W += cols.size
+    ws[N] = W  # dummy
+    solve_cols.append(np.asarray([N], np.int64))
+    W += 1
+    solve_col = np.concatenate(solve_cols)
+    perm_ext = np.concatenate([perm, [N]])
+    arrays["solve_src"] = perm_ext[solve_col].astype(np.int32)
+    arrays["solve_out"] = ws[inv].astype(np.int32)
+    for lvl in levels:
+        for B in lvl:
+            rows = arrays[B.key + ":rows_g"].astype(np.int64)
+            arrays[B.key + ":rows_w"] = ws[rows].astype(np.int32)
 
     return MFPlan(
         N=N,
@@ -639,4 +706,5 @@ def analyze(
         levels=levels,
         arrays=arrays,
         n_supernodes=len(live),
+        W=int(W),
     )

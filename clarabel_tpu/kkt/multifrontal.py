@@ -33,41 +33,78 @@ import jax.numpy as jnp
 from jax import lax
 
 _PANEL = 128
+_BLOCK = 32
+
+
+def _diag_factor(D, signs, eps, delta):
+    """LDLᵀ of a batch of ``b×b`` diagonal blocks (lower triangles valid).
+
+    Returns (L, d): unit-lower ``L`` with zeros at and above the diagonal
+    and the regularized pivots ``d``.  The only sequential loop of the
+    whole engine — per-pivot dynamic regularization with expected signs
+    mirrors qdldl.rs:517-527: d·sign < eps → d = delta·sign.
+    """
+    k, b, _ = D.shape
+    rows = jnp.arange(b)
+
+    def body(D, t):
+        colj = D[:, :, t]                             # [k, b]
+        dj = jnp.take(colj, t, axis=1)
+        sg = signs[:, t]
+        dj = jnp.where(dj * sg < eps, delta * sg, dj)
+        below = rows[None, :] > t
+        l = jnp.where(below, colj / dj[:, None], 0.0)
+        # rank-1 update of later columns: D[:, i, t'] -= l_i · colj[t']
+        rowvals = jnp.where(below, colj, 0.0)
+        D = D - l[:, :, None] * rowvals[:, None, :]
+        onehot = (rows == t).astype(D.dtype)[None, None, :]
+        D = D * (1.0 - onehot) + l[:, :, None] * onehot
+        return D, dj
+
+    D, d = lax.scan(body, D, jnp.arange(b))
+    return D, jnp.moveaxis(d, 0, 1)                   # d: [k, b]
 
 
 def _panel_factor(panel, j0, signs, eps, delta):
     """Factor pivot columns [j0, j0+w) of a front batch in place.
 
     ``panel``: [k, r, w] — full rows of the w pivot columns; pivot row of
-    local column t is global front row j0 + t.  ``signs``: [k, w] expected
-    pivot signs.  Returns (panel, d): the columns of ``panel`` now hold
-    unit-lower L entries (zero at and above the pivot row) and ``d`` the
-    regularized pivots.  Dynamic regularization mirrors qdldl.rs:517-527:
-    d·sign < eps  →  d = delta·sign.
+    local column t is global front row j0 + t.  Returns (panel, d): the
+    columns now hold unit-lower L entries (zero at and above the pivot
+    row) and ``d`` the regularized pivots.
+
+    Blocked so only the ``_BLOCK``-sized diagonal blocks run the
+    sequential pivot scan; the rows below each block come from one batched
+    ``triangular_solve`` (L21 = A21·L11⁻ᵀ·D⁻¹) and the update of later
+    panel columns is one batched matmul (MXU).
     """
     k, r, w = panel.shape
-    rows = jnp.arange(r)
-    local = jnp.arange(w)
-
-    def body(panel, t):
-        colj = panel[:, :, t]                         # [k, r]
-        dj = jnp.take(colj, j0 + t, axis=1)
-        sg = signs[:, t]
-        dj = jnp.where(dj * sg < eps, delta * sg, dj)
-        below = rows[None, :] > (j0 + t)              # [1, r]
-        l = jnp.where(below, colj / dj[:, None], 0.0)
-        # rank-1 update of the later panel columns t' > t:
-        #   F[:, i, t'] -= l[:, i] · colj[:, j0 + t']
-        later = local[None, :] > t                    # [1, w]
-        rowvals = jnp.where(later, colj[:, j0 : j0 + w], 0.0)
-        panel = panel - l[:, :, None] * rowvals[:, None, :]
-        # store the L column in place of the pivot column
-        onehot = (local == t).astype(panel.dtype)[None, None, :]
-        panel = panel * (1.0 - onehot) + l[:, :, None] * onehot
-        return panel, dj
-
-    panel, d = lax.scan(body, panel, jnp.arange(w))
-    return panel, jnp.moveaxis(d, 0, 1)               # d: [k, w]
+    d_parts = []
+    for s0 in range(0, w, _BLOCK):
+        s1 = min(s0 + _BLOCK, w)
+        b = s1 - s0
+        g0, g1 = j0 + s0, j0 + s1
+        Ld, d = _diag_factor(
+            panel[:, g0:g1, s0:s1], signs[:, s0:s1], eps, delta
+        )
+        below = panel[:, g1:, s0:s1]                  # [k, r-g1, b]
+        X = lax.linalg.triangular_solve(
+            Ld, below, left_side=False, lower=True,
+            transpose_a=True, unit_diagonal=True,
+        )
+        L21 = X / d[:, None, :]
+        Wcol = jnp.concatenate(
+            [jnp.zeros((k, g0, b), panel.dtype), Ld, L21], axis=1
+        )
+        panel = panel.at[:, :, s0:s1].set(Wcol)
+        d_parts.append(d)
+        if s1 < w:
+            # columns t' >= s1: F[:, i, t'] -= Σ_t L[:, i, t]·d_t·L[:, j0+t', t]
+            R = Wcol[:, g1 : j0 + w, :]               # [k, w-s1, b]
+            panel = panel.at[:, :, s1:].add(
+                -jnp.einsum("kib,kjb->kij", Wcol * d[:, None, :], R)
+            )
+    return panel, jnp.concatenate(d_parts, axis=1)
 
 
 def partial_ldl(F, c, signs, eps, delta):
@@ -110,8 +147,7 @@ def mf_factor(plan, arrays, Kvals, eps, delta):
     """
     dtype = Kvals.dtype
     Kp = Kvals[arrays["kperm_map"]]
-    N = plan.N
-    dvec = jnp.ones(N + 1, dtype)
+    dvec = jnp.ones(plan.W, dtype)
     out = []
     ustore = {}
     ok = jnp.asarray(True)
@@ -120,19 +156,22 @@ def mf_factor(plan, arrays, Kvals, eps, delta):
         for bi, B in enumerate(lvl):
             rp = B.r_pad
             flat = jnp.zeros(B.k * rp * rp, dtype)
+            # maps are destination-sorted (mf_symbolic); init slots are
+            # unique (each K entry belongs to exactly one front cell)
             flat = flat.at[arrays[B.key + ":init_dst"]].add(
-                Kp[arrays[B.key + ":init_src"]]
+                Kp[arrays[B.key + ":init_src"]],
+                indices_are_sorted=True, unique_indices=True,
             )
             for (sl, sb, akey) in B.asm:
                 U = ustore[(sl, sb)].reshape(-1)
                 flat = flat.at[arrays[akey + ":dst"]].add(
-                    U[arrays[akey + ":src"]]
+                    U[arrays[akey + ":src"]], indices_are_sorted=True,
                 )
             F = flat.reshape(B.k, rp, rp)
             signs = jnp.asarray(arrays[B.key + ":signs"], dtype)
             Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta)
             ustore[(li, bi)] = U
-            dvec = dvec.at[arrays[B.key + ":cols_g"]].set(d)
+            dvec = lax.dynamic_update_slice(dvec, d.reshape(-1), (B.w_off,))
             lvl_out.append((Lc, d))
             ok = ok & okb
         out.append(lvl_out)
@@ -143,27 +182,41 @@ def mf_solve(plan, arrays, factors, rhs):
     """Solve K x = rhs with the computed factors (levelized forward /
     diagonal / backward sweeps).  ``rhs``: [N] or [N, r] in the original
     frame — multiple right-hand sides ride the same sweeps (the IPM pairs
-    the constant and affine solves this way)."""
+    the constant and affine solves this way).
+
+    Works in the bucket-contiguous solve workspace (see mf_symbolic):
+    each bucket's pivot block is one dynamic slice of ``x``; only the
+    cross-level update-row contributions gather/scatter.
+    """
     dtype = rhs.dtype
     single = rhs.ndim == 1
     if single:
         rhs = rhs[:, None]
     r = rhs.shape[1]
-    x = jnp.concatenate([rhs[arrays["perm"]], jnp.zeros((1, r), dtype)])
+    rhs_ext = jnp.concatenate([rhs, jnp.zeros((1, r), dtype)])
+    x = rhs_ext[arrays["solve_src"]]              # [W, r]
+
+    def blk(x, B):
+        v = lax.dynamic_slice(x, (B.w_off, 0), (B.k * B.c_pad, r))
+        return v.reshape(B.k, B.c_pad, r)
+
+    def put(x, B, v):
+        return lax.dynamic_update_slice(
+            x, v.reshape(B.k * B.c_pad, r), (B.w_off, 0)
+        )
 
     for li, lvl in enumerate(plan.levels):
         for bi, B in enumerate(lvl):
             Lc, _d = factors["levels"][li][bi]
-            cols = arrays[B.key + ":cols_g"]
             L11 = Lc[:, : B.c_pad, :]
             y = lax.linalg.triangular_solve(
-                L11, x[cols], left_side=True, lower=True,
+                L11, blk(x, B), left_side=True, lower=True,
                 unit_diagonal=True,
             )
-            x = x.at[cols].set(y)
+            x = put(x, B, y)
             if B.u_pad:
                 L21 = Lc[:, B.c_pad :, :]
-                x = x.at[arrays[B.key + ":rows_g"]].add(
+                x = x.at[arrays[B.key + ":rows_w"]].add(
                     -jnp.einsum("kuc,kcr->kur", L21, y)
                 )
 
@@ -172,19 +225,18 @@ def mf_solve(plan, arrays, factors, rhs):
     for li in range(len(plan.levels) - 1, -1, -1):
         for bi, B in enumerate(plan.levels[li]):
             Lc, _d = factors["levels"][li][bi]
-            cols = arrays[B.key + ":cols_g"]
             L11 = Lc[:, : B.c_pad, :]
-            v = x[cols]
+            v = blk(x, B)
             if B.u_pad:
                 L21 = Lc[:, B.c_pad :, :]
                 v = v - jnp.einsum(
-                    "kuc,kur->kcr", L21, x[arrays[B.key + ":rows_g"]]
+                    "kuc,kur->kcr", L21, x[arrays[B.key + ":rows_w"]]
                 )
             xc = lax.linalg.triangular_solve(
                 L11, v, left_side=True, lower=True,
                 unit_diagonal=True, transpose_a=True,
             )
-            x = x.at[cols].set(xc)
+            x = put(x, B, xc)
 
-    out = x[:-1][arrays["inv"]]
+    out = x[arrays["solve_out"]]
     return out[:, 0] if single else out

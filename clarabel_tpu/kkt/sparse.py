@@ -133,6 +133,11 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         K_low, dsigns, ordering=ordering, max_supernode_cols=max_supernode_cols
     )
 
+    # row-sorted view of the nonzeros so the symmetric matvec's first
+    # segment-sum runs with sorted segment ids (canonical CSC order is
+    # (col, row)-sorted, which already sorts the transpose-part ids)
+    row_order = np.argsort(K_rows, kind="stable").astype(np.int32)
+
     np_arrays = {
         "kkt:map_P": map_P,
         "kkt:map_A": map_A,
@@ -144,6 +149,9 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         "kkt:K_cols": K_cols,
         "kkt:strict_sel": strict_sel,
         "kkt:dsigns": dsigns,
+        "kkt:row_order": row_order,
+        "kkt:rows_sorted": K_rows[row_order],
+        "kkt:cols_of_sorted": K_cols[row_order],
     }
     return SparseKKT(
         plan=plan, n=n, m=m, N=N, nnz=nnz, np_arrays=np_arrays,
@@ -187,14 +195,24 @@ def assemble(ctx: SparseKKT, data, P, A, hs_vals, exp_vals, settings):
 def sym_matvec(ctx: SparseKKT, data, Kvals, v):
     """y = K v with K given by its lower-triangle values (for iterative
     refinement against the unregularized K; directldlkktsolver.rs:266-321).
-    ``v`` may be [N] or [N, r] (multi-RHS refinement)."""
+    ``v`` may be [N] or [N, r] (multi-RHS refinement).
+
+    Both segment sums run with sorted segment ids: the lower-triangle term
+    through a row-sorted gather of the nonzeros, the transpose term
+    directly (canonical CSC order sorts by column)."""
     rows, cols = data["kkt:K_rows"], data["kkt:K_cols"]
-    Kv = Kvals if v.ndim == 1 else Kvals[:, None]
-    y = jax.ops.segment_sum(Kv * v[cols], rows, num_segments=ctx.N)
+    ro = data["kkt:row_order"]
+    Kr = Kvals[ro]
+    Krv = Kr if v.ndim == 1 else Kr[:, None]
+    y = jax.ops.segment_sum(
+        Krv * v[data["kkt:cols_of_sorted"]], data["kkt:rows_sorted"],
+        num_segments=ctx.N, indices_are_sorted=True,
+    )
     ssel = data["kkt:strict_sel"]
     Ks = Kvals[ssel] if v.ndim == 1 else Kvals[ssel][:, None]
     y = y + jax.ops.segment_sum(
-        Ks * v[rows[ssel]], cols[ssel], num_segments=ctx.N
+        Ks * v[rows[ssel]], cols[ssel], num_segments=ctx.N,
+        indices_are_sorted=True,
     )
     return y
 
