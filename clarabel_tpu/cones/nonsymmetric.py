@@ -546,14 +546,15 @@ def _gp_slice(layout):
 
 
 def unit_initialization(layout: ConeLayout, z, s):
+    dt = z.dtype  # NumPy init points are f64; cast to the solve dtype
     if layout.num_exp:
         sl = _exp_slice(layout)
-        pt = np.tile(exp_unit_init(), layout.num_exp)
+        pt = np.tile(exp_unit_init(), layout.num_exp).astype(dt)
         z = z.at[sl].set(pt)
         s = s.at[sl].set(pt)
     if layout.num_pow:
         sl = _pow_slice(layout)
-        pt = pow_unit_init(layout.pow_alpha).reshape(-1)
+        pt = pow_unit_init(layout.pow_alpha).reshape(-1).astype(dt)
         z = z.at[sl].set(pt)
         s = s.at[sl].set(pt)
     if layout.num_genpow:
@@ -562,7 +563,7 @@ def unit_initialization(layout: ConeLayout, z, s):
         # zero on the q part
         pt = np.where(
             layout.genpow_is_q, 0.0, np.sqrt(1.0 + layout.genpow_alpha)
-        )
+        ).astype(dt)
         z = z.at[sl].set(pt)
         s = s.at[sl].set(pt)
     return z, s

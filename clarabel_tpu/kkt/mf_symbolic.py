@@ -429,6 +429,10 @@ class MFBucket:
     # workspace orders pivot slots bucket-contiguously so the triangular
     # sweeps use dynamic slices instead of gathers/scatters)
     w_off: int = 0
+    # offset of this bucket's fronts in the flat assembly workspace (all
+    # fronts initialize from the KKT nonzeros with ONE global scatter;
+    # each bucket then slices its [k·r_pad²] cells out)
+    f_off: int = 0
 
     @property
     def r_pad(self) -> int:
@@ -449,6 +453,8 @@ class MFPlan:
     n_supernodes: int = 0
     # solve-workspace size: Σ k·c_pad over buckets + 1 trailing dummy slot
     W: int = 0
+    # flat assembly-workspace size: Σ k·r_pad² over buckets
+    total_cells: int = 0
 
     def device_arrays(self):
         return dict(self.arrays)
@@ -579,6 +585,8 @@ def analyze(
     flops = 0.0
     # scratch: permuted-index -> front-local position for the current lane
     posmap = np.full(N, -1, np.int64)
+    # per-bucket (src, dst) init pairs, merged into one global scatter below
+    bucket_init: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
     for li in range(n_levels):
         sids = [s for s in live if level_of[s] == li]
@@ -651,11 +659,10 @@ def analyze(
                 isrc = np.concatenate(init_src)
                 idst = np.concatenate(init_dst)
                 order = np.argsort(idst, kind="stable")
-                arrays[key + ":init_src"] = isrc[order].astype(np.int32)
-                arrays[key + ":init_dst"] = idst[order].astype(np.int32)
+                bucket_init[key] = (isrc[order], idst[order])
             else:
-                arrays[key + ":init_src"] = np.zeros(0, np.int32)
-                arrays[key + ":init_dst"] = np.zeros(0, np.int32)
+                z = np.zeros(0, np.int64)
+                bucket_init[key] = (z, z)
             asm_list = []
             for (sl, sb), pairs in sorted(asm_groups.items()):
                 src = np.concatenate([p[0] for p in pairs])
@@ -669,6 +676,27 @@ def analyze(
             b.asm = asm_list  # type: ignore[attr-defined]
             lvl.append(b)
         levels.append(lvl)
+
+    # --- flat assembly workspace -----------------------------------------
+    # All fronts live consecutively in one flat buffer; initialization from
+    # the KKT nonzeros is ONE globally-sorted scatter instead of one per
+    # bucket (scatter dispatches dominate the factor at these sizes).
+    total_cells = 0
+    g_src: List[np.ndarray] = []
+    g_dst: List[np.ndarray] = []
+    for lvl in levels:
+        for B in lvl:
+            B.f_off = total_cells
+            isrc, idst = bucket_init.pop(B.key)
+            g_src.append(isrc)
+            g_dst.append(idst + B.f_off)  # per-bucket maps are dst-sorted
+            total_cells += B.k * B.r_pad * B.r_pad
+    arrays["init_src_all"] = (
+        np.concatenate(g_src).astype(np.int32) if g_src else np.zeros(0, np.int32)
+    )
+    arrays["init_dst_all"] = (
+        np.concatenate(g_dst).astype(np.int32) if g_dst else np.zeros(0, np.int32)
+    )
 
     # --- solve workspace layout ------------------------------------------
     # Pivot slots laid out bucket-contiguously (lane-major within a bucket)
@@ -707,4 +735,5 @@ def analyze(
         arrays=arrays,
         n_supernodes=len(live),
         W=int(W),
+        total_cells=int(total_cells),
     )

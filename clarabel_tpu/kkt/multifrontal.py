@@ -137,17 +137,31 @@ def partial_ldl(F, c, signs, eps, delta):
     return Lc, d, U, ok
 
 
-def mf_factor(plan, arrays, Kvals, eps, delta):
+def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False):
     """Numeric factorization.  ``Kvals`` is the canonical lower-triangle
     nonzero vector of K (original frame, the CSC order that was handed to
     :func:`mf_symbolic.analyze`).
 
+    With ``use_pallas`` (TPU f32), buckets within the Pallas gate run the
+    fused :func:`pallas_front.front_partial_ldl` kernel — one dispatch per
+    bucket instead of the ~5-op-per-panel XLA chain.
+
     Returns (factors, ok); factors is a pytree consumed by
     :func:`mf_solve`.
     """
+    if use_pallas:
+        from . import pallas_front
     dtype = Kvals.dtype
     Kp = Kvals[arrays["kperm_map"]]
     dvec = jnp.ones(plan.W, dtype)
+    # ONE globally-sorted scatter initializes every front from the KKT
+    # nonzeros (maps are destination-sorted and unique: each K entry
+    # belongs to exactly one front cell); buckets slice their cells out
+    finit = jnp.zeros(plan.total_cells, dtype)
+    finit = finit.at[arrays["init_dst_all"]].add(
+        Kp[arrays["init_src_all"]],
+        indices_are_sorted=True, unique_indices=True,
+    )
     out = []
     ustore = {}
     ok = jnp.asarray(True)
@@ -155,13 +169,7 @@ def mf_factor(plan, arrays, Kvals, eps, delta):
         lvl_out = []
         for bi, B in enumerate(lvl):
             rp = B.r_pad
-            flat = jnp.zeros(B.k * rp * rp, dtype)
-            # maps are destination-sorted (mf_symbolic); init slots are
-            # unique (each K entry belongs to exactly one front cell)
-            flat = flat.at[arrays[B.key + ":init_dst"]].add(
-                Kp[arrays[B.key + ":init_src"]],
-                indices_are_sorted=True, unique_indices=True,
-            )
+            flat = lax.dynamic_slice(finit, (B.f_off,), (B.k * rp * rp,))
             for (sl, sb, akey) in B.asm:
                 U = ustore[(sl, sb)].reshape(-1)
                 flat = flat.at[arrays[akey + ":dst"]].add(
@@ -169,7 +177,14 @@ def mf_factor(plan, arrays, Kvals, eps, delta):
                 )
             F = flat.reshape(B.k, rp, rp)
             signs = jnp.asarray(arrays[B.key + ":signs"], dtype)
-            Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta)
+            if use_pallas and pallas_front.supported(B.c_pad, rp, dtype):
+                Fo, d = pallas_front.front_partial_ldl(
+                    F, signs, B.c_pad, float(eps), float(delta)
+                )
+                Lc, U = Fo[:, :, : B.c_pad], Fo[:, B.c_pad :, B.c_pad :]
+                okb = jnp.all(jnp.isfinite(Fo))
+            else:
+                Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta)
             ustore[(li, bi)] = U
             dvec = lax.dynamic_update_slice(dvec, d.reshape(-1), (B.w_off,))
             lvl_out.append((Lc, d))

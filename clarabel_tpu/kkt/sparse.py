@@ -217,7 +217,7 @@ def sym_matvec(ctx: SparseKKT, data, Kvals, v):
     return y
 
 
-def factor(ctx: SparseKKT, data, K_reg_vals, settings):
+def factor(ctx: SparseKKT, data, K_reg_vals, settings, use_pallas=False):
     """Numeric multifrontal refactorization (qdldl.rs:468-700 analog).
     Dynamic per-pivot regularization uses the expected-sign rule
     (qdldl.rs:517-527); disabled -> thresholds that never fire."""
@@ -225,8 +225,10 @@ def factor(ctx: SparseKKT, data, K_reg_vals, settings):
         eps = settings.dynamic_regularization_eps
         delta = settings.dynamic_regularization_delta
     else:
-        eps, delta = -jnp.inf, 1.0
-    return multifrontal.mf_factor(ctx.plan, data, K_reg_vals, eps, delta)
+        eps, delta = -float("inf"), 1.0
+    return multifrontal.mf_factor(
+        ctx.plan, data, K_reg_vals, eps, delta, use_pallas=use_pallas
+    )
 
 
 def solve(ctx: SparseKKT, data, factors, rhs):

@@ -464,7 +464,9 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
         Kvals, Kreg = kkt_sparse.assemble(
             ctx, data, P, A, hs_vals, exp_vals, settings
         )
-        mff, ok = kkt_sparse.factor(ctx, data, Kreg, settings)
+        mff, ok = kkt_sparse.factor(
+            ctx, data, Kreg, settings, use_pallas=use_pallas
+        )
         K_true = lambda v: kkt_sparse.sym_matvec(ctx, data, Kvals, v)
         return ("mf", (ctx, data, mff)), K_true, ok
 

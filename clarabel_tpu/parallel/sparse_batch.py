@@ -159,6 +159,7 @@ class SparseBatchSolver:
             self._layout, n,
             sym_rows, sym_cols,
             A_perm.row.astype(np.int64), A_perm.col.astype(np.int64),
+            ordering=self.settings.multifrontal_ordering,
         )
 
         self.B, self.n, self.m = B, n, m

@@ -79,6 +79,13 @@ class DefaultSettings:
     max_threads: int = 0
     direct_kkt_solver: bool = True
     direct_solve_method: str = "auto"
+    # fill-reducing ordering for the multifrontal symbolic analysis
+    # (reference: QDLDLSettings perm / amd ordering, qdldl.rs:31-40,905-922):
+    #   "auto"    — nested dissection for large patterns, minimum degree
+    #               for small ones, with an automatic ND retry when MD
+    #               yields a chain schedule
+    #   "nd" / "mmd" / "natural" — forced
+    multifrontal_ordering: str = "auto"
 
     # static regularization parameters
     static_regularization_enable: bool = True
@@ -148,6 +155,10 @@ class DefaultSettings:
             raise SettingsError(
                 f"unknown direct_solve_method {self.direct_solve_method!r}"
             )
+        if self.multifrontal_ordering not in ("auto", "nd", "mmd", "natural"):
+            raise SettingsError(
+                f"unknown multifrontal_ordering {self.multifrontal_ordering!r}"
+            )
         if self.chordal_decomposition_merge_method not in (
             "none",
             "parent_child",
@@ -182,6 +193,7 @@ class DefaultSettings:
         "equilibrate_max_scaling",
         "direct_kkt_solver",
         "direct_solve_method",
+        "multifrontal_ordering",
         "presolve_enable",
         "input_sparse_dropzeros",
         "chordal_decomposition_enable",

@@ -521,10 +521,34 @@ class DefaultSolver:
             self._np_A = None
             self._np_b = b.copy()
 
-            # chordal decomposition targets large PSD cones, which the
-            # auto heuristic keeps on the dense path; an explicit
-            # multifrontal request skips it
+            # chordal decomposition of large PSD cones composes with the
+            # sparse KKT path: the combinatorial transform runs host-side
+            # on dense views (exactly as the dense path does), and the
+            # decomposed problem — many small clique cones with sparse
+            # coupling rows — is what the multifrontal engine is built for
+            # (reference: problemdata.rs:94-112 + SURVEY §5.7)
+            from .chordal import try_chordal_info
+
+            P_full_csc = (
+                self._P_csc + sp.triu(self._P_csc, 1).T
+            ).tocsc()
             self._chordal = None
+            if any(c.kind == api.PSD for c in cones_int):
+                A_dense = np.asarray(A_work.todense())
+                self._chordal = try_chordal_info(
+                    A_dense, b, cones_int, self.settings
+                )
+                if self._chordal is not None:
+                    P_d, q, A_dense, b, cones_int = (
+                        self._chordal.decomp_augment(
+                            np.asarray(P_full_csc.todense()), q, A_dense,
+                            b, self.settings,
+                        )
+                    )
+                    P_full_csc = sp.csc_matrix(P_d)
+                    A_work = sp.csr_matrix(A_dense)
+
+            n_int = P_full_csc.shape[0]
 
             self._layout = ConeLayout(cones_int)
             perm = self._layout.perm
@@ -534,10 +558,10 @@ class DefaultSolver:
         self.n = n
         self.m_full = m
         self.m = self._layout.m
-        self._n_int = n
+        self._n_int = n_int
         self._dtype = dtype or _default_dtype()
 
-        P_sym = (self._P_csc + sp.triu(self._P_csc, 1).T).tocoo()
+        P_sym = P_full_csc.tocoo()
         self._p_is_zero = not (P_sym.nnz and np.any(P_sym.data))
 
         if device is None:
@@ -546,24 +570,38 @@ class DefaultSolver:
             else:
                 device = jax.devices()[0]
         self._device = device
-        self._use_pallas = False
+        # Experimental (CT_PALLAS_FRONT=1): fused Pallas front-factorization
+        # kernel (kkt/pallas_front.py).  Measured on the N=60k banded QP it
+        # is numerically weaker than the XLA blocked path (128-long f32
+        # rank-1 chains vs 32-block scans + triangular solves: iterative
+        # refinement stalls) and no faster once the flat-workspace assembly
+        # landed, so it stays opt-in.
+        import os as _os
+
+        self._use_pallas = (
+            _is_tpu_platform(device)
+            and self._dtype == "float32"
+            and bool(_os.environ.get("CT_PALLAS_FRONT"))
+        )
 
         with self.timers.scope("kktinit"):
             self._skkt = kkt_sparse.build(
-                self._layout, n,
+                self._layout, n_int,
                 P_sym.row.astype(np.int64), P_sym.col.astype(np.int64),
                 A_perm.row.astype(np.int64), A_perm.col.astype(np.int64),
+                ordering=self.settings.multifrontal_ordering,
             )
             self._skkt_data = self._skkt.device_data(self._dtype, device)
 
             put = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
             iput = lambda v: jax.device_put(np.asarray(v, np.int32), device)
             self._P = COOMat(
-                put(P_sym.data), iput(P_sym.row), iput(P_sym.col), (n, n)
+                put(P_sym.data), iput(P_sym.row), iput(P_sym.col),
+                (n_int, n_int),
             )
             self._A = COOMat(
                 put(A_perm.data), iput(A_perm.row), iput(A_perm.col),
-                (self.m, n),
+                (self.m, n_int),
             )
             self._q = put(q)
             self._b = put(b)
@@ -572,6 +610,7 @@ class DefaultSolver:
                 build_solve_core(
                     self._layout, self.settings, self._n_int,
                     self._p_is_zero, self._dtype, sparse_ctx=self._skkt,
+                    use_pallas=self._use_pallas,
                 )
             )
 

@@ -197,3 +197,42 @@ def test_f32_expcone_multifrontal_entropy():
     assert sol.status == ct.SolverStatus.Solved
     # max entropy of a 32-point distribution = log(32)
     assert abs(sol.obj_val + np.log(k)) < 1e-3
+
+
+def test_f32_powcone_multifrontal_sumpow():
+    """f32 + 3-D power cones through the unpivoted multifrontal LDL: the
+    pow-cone Hessian blocks are more ill-conditioned than exp near the
+    boundary (r2 STATUS backlog #5) — the symmetric Jacobi scaling of K
+    inside kkt_sparse.factor must carry this to Solved.
+
+    maximize sum_i t_i  s.t. (x_i, 1, t_i) in Pow(0.3), sum x = 1, x >= 0
+    -> optimum at uniform x: obj = -k^(1-alpha)."""
+    import numpy as np
+    import jax
+    import clarabel_tpu as ct
+
+    k = 24
+    alpha = 0.3
+    nn = 2 * k
+    qv = np.zeros(nn); qv[k:] = -1.0
+    Apow = np.zeros((3 * k, nn)); bpow = np.zeros(3 * k)
+    for i in range(k):
+        Apow[3 * i + 0, i] = -1.0
+        bpow[3 * i + 1] = 1.0
+        Apow[3 * i + 2, k + i] = -1.0
+    Asum = np.zeros((1, nn)); Asum[0, :k] = 1.0
+    Apos = np.zeros((k, nn)); Apos[:, :k] = -np.eye(k)
+    A = np.vstack([Apow, Asum, Apos])
+    b = np.concatenate([bpow, [1.0], np.zeros(k)])
+    cones = [ct.PowerConeT(alpha)] * k + [
+        ct.ZeroConeT(1), ct.NonnegativeConeT(k)
+    ]
+    s = ct.DefaultSettings.for_float32(
+        direct_solve_method="multifrontal", verbose=False
+    )
+    sol = ct.DefaultSolver(
+        np.zeros((nn, nn)), qv, A, b, cones, s,
+        dtype="float32", device=jax.devices("cpu")[0],
+    ).solve()
+    assert sol.status == ct.SolverStatus.Solved
+    assert abs(sol.obj_val + k ** (1.0 - alpha)) < 1e-2

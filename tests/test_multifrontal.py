@@ -124,3 +124,36 @@ def test_fill_stats_are_sparse():
     plan = mf_symbolic.analyze(K_low, dsigns)
     assert plan.nnzL < 0.05 * N * N
     assert plan.n_supernodes > 1
+
+
+def test_pallas_front_kernel_matches_xla_path():
+    """The experimental fused Pallas front-factorization kernel
+    (CT_PALLAS_FRONT=1 opt-in) must match the XLA blocked partial LDL to
+    f32 roundoff; runs in interpreter mode so it validates on CPU."""
+    import jax.numpy as jnp
+
+    from clarabel_tpu.kkt import multifrontal as mf
+    from clarabel_tpu.kkt import pallas_front as pf
+
+    rng = np.random.default_rng(7)
+    for (k, c, r) in [(3, 32, 32), (2, 64, 96), (2, 128, 160)]:
+        M = rng.standard_normal((k, r, r)).astype(np.float32)
+        M = M + np.transpose(M, (0, 2, 1))
+        M[:, np.arange(r), np.arange(r)] += 3.0 * r
+        sg = np.ones((k, c), np.float32)
+        sg[:, c // 2:] = -1.0
+        M[:, np.arange(c // 2, r), np.arange(c // 2, r)] *= -1.0
+        F = jnp.asarray(M)
+        signs = jnp.asarray(sg)
+        Lc, d, U, ok = mf.partial_ldl(F, c, signs, 1e-9, 1e-5)
+        Fo, d2 = pf.front_partial_ldl(F, signs, c, 1e-9, 1e-5, interpret=True)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(Lc), np.asarray(Fo[:, :, :c]),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d2),
+                                   rtol=2e-5, atol=1e-3)
+        if r > c:
+            tl = np.tril_indices(r - c)
+            got = np.asarray(Fo[:, c:, c:])[:, tl[0], tl[1]]
+            want = np.asarray(U)[:, tl[0], tl[1]]
+            np.testing.assert_allclose(got, want, atol=5e-4)

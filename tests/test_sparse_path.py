@@ -212,3 +212,50 @@ def test_linear_solver_introspection():
     assert s_lu.info.linear_solver.nnzA == A.nnz
     sol = s_lu.solve()
     assert s_lu.info.linear_solver.name == "lu"  # survives the solve
+
+
+def test_chordal_sdp_through_sparse_path():
+    """Chordal decomposition composes with the multifrontal KKT engine
+    (r2 STATUS backlog #3): a banded PSD cone decomposes into a chain of
+    small cliques whose sparse coupled KKT solves without densification,
+    and the reversal/PSD-completion returns the undecomposed solution."""
+    n_mat = 12
+    tri = n_mat * (n_mat + 1) // 2
+
+    def tri_index(i, j):
+        return j * (j + 1) // 2 + i
+
+    pattern = [(i, i) for i in range(n_mat)]
+    pattern += [(i, i + 1) for i in range(n_mat - 1)]
+    rows = [tri_index(i, j) for (i, j) in pattern]
+
+    nvar = len(pattern)
+    A = np.zeros((tri, nvar))
+    for k, r in enumerate(rows):
+        A[r, k] = -1.0
+    b = np.zeros(tri)
+    P = np.eye(nvar)
+    q = np.array([-1.0 if i == j else 0.2 for (i, j) in pattern])
+    cones = [ct.PSDTriangleConeT(n_mat)]
+
+    ref = ct.DefaultSolver(
+        P, q, A, b, cones,
+        ct.DefaultSettings(verbose=False, chordal_decomposition_enable=False),
+    ).solve()
+    assert ref.status == ct.SolverStatus.Solved
+
+    for compact in (False, True):
+        solver = ct.DefaultSolver(
+            sp.csc_matrix(P), q, sp.csc_matrix(A), b, cones,
+            ct.DefaultSettings(
+                verbose=False,
+                direct_solve_method="multifrontal",
+                chordal_decomposition_compact=compact,
+            ),
+        )
+        assert solver._sparse and solver._chordal is not None
+        assert solver.info.linear_solver.name == "multifrontal"
+        sol = solver.solve()
+        assert sol.status == ct.SolverStatus.Solved
+        assert abs(sol.obj_val - ref.obj_val) <= 1e-6
+        assert np.linalg.norm(sol.x - ref.x) <= 1e-5
