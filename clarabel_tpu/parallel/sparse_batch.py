@@ -17,7 +17,6 @@ sparse path's own rules: structure is immutable, values vary per lane.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Optional, Sequence
 
