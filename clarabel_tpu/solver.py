@@ -329,6 +329,33 @@ def _wants_sparse(settings, P_csc, A_csc, n, m, cones) -> bool:
     return nnz < _SPARSE_AUTO_MAX_DENSITY * float(N) * float(N)
 
 
+# dense fallback is representable up to this KKT dimension (N^2 f32 = 256 MB)
+_DENSE_FALLBACK_MAX_DIM = 8192
+
+
+def _prefer_dense(plan, N) -> bool:
+    """Cost-model veto of the multifrontal choice after symbolic analysis —
+    the analog of the reference's auto backend, which computes the AMD
+    ordering + symbolic counts and switches on flops/nnz(L)
+    (ldlsolvers/auto.rs:47-88).  Here the two candidates are the levelized
+    multifrontal schedule vs one dense LU of the full KKT, so the model
+    compares their predicted per-iteration times with constants measured on
+    TPU v5e (BENCH_EXT.json): the multifrontal is dispatch-bound at
+    ~1.5 ms per bucket chain + ~20 GFLOP/s of front work; dense LU runs at
+    ~440 GFLOP/s.  High fill or a deep/fragmented schedule sends a
+    medium-sized problem back to the dense path."""
+    if N > _DENSE_FALLBACK_MAX_DIM:
+        return False
+    n_buckets = sum(len(lvl) for lvl in plan.levels)
+    # measured v5e per-iteration proxies: each bucket is a ~1 ms dispatch
+    # chain, front flops run near 20 GFLOP/s; dense pivoted LU has a
+    # ~22 ms latency floor (N=1024: 27 ms) plus ~440 GFLOP/s of cubic work
+    # (N=4096: 51.7 ms)
+    t_mf = 1.0e-3 * n_buckets + plan.flops / 20e9
+    t_dense = 2.2e-2 + (float(N) / 4096.0) ** 3 * 3.0e-2
+    return t_dense < t_mf
+
+
 class DefaultSolver:
     """Interior-point solver for convex conic programs with quadratic
     objectives (reference: DefaultSolver, default/solver.rs:19-126)."""
@@ -378,11 +405,13 @@ class DefaultSolver:
 
             # large sparse problems (or an explicit request) route to the
             # sparse multifrontal KKT engine and are never densified;
-            # everything else uses the batched/MXU dense backends
+            # everything else uses the batched/MXU dense backends.  On the
+            # auto path the symbolic analysis may veto the choice (cost
+            # model; _prefer_dense) and fall back to the dense backends.
             self._sparse = _wants_sparse(self.settings, P_csc, A_csc, n, m, cones)
             if self._sparse:
-                self._setup_sparse(q, b, cones, dtype, device)
-            else:
+                self._sparse = self._setup_sparse(q, b, cones, dtype, device)
+            if not self._sparse:
                 self._setup_dense(
                     _symmetrize_triu(P_csc.toarray()), A_csc.toarray(),
                     q, b, cones, dtype, device,
@@ -591,6 +620,13 @@ class DefaultSolver:
                 A_perm.row.astype(np.int64), A_perm.col.astype(np.int64),
                 ordering=self.settings.multifrontal_ordering,
             )
+            # auto-mode cost-model veto (ldlsolvers/auto.rs analog): a bad
+            # fill/schedule on a medium problem falls back to dense LU
+            if (
+                self.settings.direct_solve_method != "multifrontal"
+                and _prefer_dense(self._skkt.plan, self._skkt.N)
+            ):
+                return False
             self._skkt_data = self._skkt.device_data(self._dtype, device)
 
             put = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
@@ -620,6 +656,7 @@ class DefaultSolver:
             nnzL=int(self._skkt.plan.nnzL),
             dim=self._skkt.N,
         )
+        return True
 
     # ------------------------------------------------------------------
     def solve(self, warm_start=None) -> DefaultSolution:

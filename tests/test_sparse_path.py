@@ -259,3 +259,38 @@ def test_chordal_sdp_through_sparse_path():
         assert sol.status == ct.SolverStatus.Solved
         assert abs(sol.obj_val - ref.obj_val) <= 1e-6
         assert np.linalg.norm(sol.x - ref.x) <= 1e-5
+
+
+def test_auto_cost_model_vetoes_bad_fill():
+    """The auto path's cost model (ldlsolvers/auto.rs analog): a problem
+    that passes the size/density gate but whose pattern fills badly under
+    any ordering falls back to the dense backends; a banded problem of the
+    same size stays on the multifrontal engine."""
+    rng = np.random.default_rng(2)
+    n = 1600
+
+    # random sparse P: ~8 nnz/row with no structure -> catastrophic fill
+    Pr = sp.random(n, n, density=0.005, random_state=3, format="csc")
+    P = (Pr + Pr.T + 20.0 * sp.eye(n)).tocsc()
+    A = sp.vstack([sp.eye(n), -sp.eye(n)], format="csc")
+    q = rng.standard_normal(n)
+    b = np.ones(2 * n)
+    s = _settings()  # auto
+    dense_pick = ct.DefaultSolver(P, q, A, b, [ct.NonnegativeConeT(2 * n)], s)
+    assert not dense_pick._sparse
+    assert dense_pick.info.linear_solver.name != "multifrontal"
+
+    Pb = sp.diags(
+        [2.0 * np.ones(n), -0.8 * np.ones(n - 1), -0.8 * np.ones(n - 1)],
+        [0, 1, -1], format="csc",
+    )
+    sparse_pick = ct.DefaultSolver(
+        Pb, q, A, b, [ct.NonnegativeConeT(2 * n)], s
+    )
+    assert sparse_pick._sparse
+    assert sparse_pick.info.linear_solver.name == "multifrontal"
+
+    # both still solve correctly
+    r1 = dense_pick.solve()
+    r2 = sparse_pick.solve()
+    assert r1.status == r2.status == ct.SolverStatus.Solved
