@@ -610,9 +610,17 @@ def update_scaling(layout: ConeLayout, state, s, z, mu, strategy):
 
 
 def _gp_seg_sum(layout, x):
-    return jax.ops.segment_sum(
-        x, layout.genpow_seg, num_segments=layout.num_genpow
+    # per-cone sums as a 0/1 matmul against a trace-time constant instead
+    # of segment_sum: the scatter-add lowering's index-clamp pattern
+    # (gt/sub control deps) trips an XLA TPU algebraic-simplifier CHECK
+    # ("A cycle is detected ... scatter-add") inside the solver loop's
+    # cond, SIGABRTing the compiler on every genpow problem.  The matmul
+    # is exact (0/1 weights) and MXU-friendly.
+    onehot = np.equal(
+        layout.genpow_seg[:, None],
+        np.arange(layout.num_genpow)[None, :],
     )
+    return x @ jnp.asarray(onehot, x.dtype)
 
 
 def _gp_update_scaling(layout, state, z, mu):

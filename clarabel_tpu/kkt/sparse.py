@@ -168,16 +168,25 @@ def assemble(ctx: SparseKKT, data, P, A, hs_vals, exp_vals, settings):
     COOMat (P full-symmetric) in the exact COO order given to
     :func:`build`; ``exp_vals`` the sparse-cone expansion entries.
     Static regularization by expected sign mirrors
-    directldlkktsolver.rs:217-264."""
+    directldlkktsolver.rs:217-264.
+
+    All sources assemble with ONE fused scatter-add: fewer dispatches, and
+    it sidesteps an XLA TPU algebraic-simplifier crash on tiny scatters
+    inside the solver loop's cond (observed with a 4-entry genpow Hs-diag
+    map: "A cycle is detected while visiting instruction ... scatter-add").
+    """
     dtype = P.data.dtype
-    K = jnp.zeros(ctx.nnz, dtype)
-    K = K.at[data["kkt:map_P"]].add(P.data[data["kkt:P_tril_sel"]])
-    K = K.at[data["kkt:map_A"]].add(A.data)
+    vals = [P.data[data["kkt:P_tril_sel"]], A.data]
+    idx = [data["kkt:map_P"], data["kkt:map_A"]]
     if hs_vals.shape[0]:
-        K = K.at[data["kkt:map_hs"]].add(-hs_vals)
+        vals.append(-hs_vals)
+        idx.append(data["kkt:map_hs"])
     if exp_vals.shape[0]:
         # expansion entries carry their own signs (datamaps.rs update fns)
-        K = K.at[data["kkt:map_exp"]].add(exp_vals)
+        vals.append(exp_vals)
+        idx.append(data["kkt:map_exp"])
+    K = jnp.zeros(ctx.nnz, dtype)
+    K = K.at[jnp.concatenate(idx)].add(jnp.concatenate(vals))
 
     if settings.static_regularization_enable:
         dvals = K[data["kkt:map_diag"]]
