@@ -93,6 +93,9 @@ def bench_batched_qp(jax, ct, device):
 
     t_batch, _ = _time_batch_solver(batch)
     throughput = B / t_batch
+    # BASELINE.md target row: IPM iterations/s per chip
+    total_iters = int(np.sum(sol.iterations))
+    iters_per_s = total_iters / t_batch
 
     # baseline: sequential single-problem solves on the host CPU
     cpu = jax.devices("cpu")[0]
@@ -109,7 +112,8 @@ def bench_batched_qp(jax, ct, device):
     _row("batched_qp_throughput", round(throughput, 2), "problems/s",
          vs_baseline=round(vs, 2), B=B, n=n, m=2 * n,
          solved=f"{n_ok}/{B}", t_batch_ms=round(t_batch * 1e3, 1),
-         cpu_seq_per_s=round(1.0 / t_single, 2))
+         cpu_seq_per_s=round(1.0 / t_single, 2),
+         ipm_iterations_per_s=round(iters_per_s, 1))
     return throughput, vs
 
 

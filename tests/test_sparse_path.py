@@ -294,3 +294,28 @@ def test_auto_cost_model_vetoes_bad_fill():
     r1 = dense_pick.solve()
     r2 = sparse_pick.solve()
     assert r1.status == r2.status == ct.SolverStatus.Solved
+
+
+def test_multifrontal_ill_scaled_equality_rows():
+    """Badly scaled zero-cone rows through the multifrontal engine: Ruiz
+    equilibration + signed dynamic regularization must carry this to
+    Solved with the equalities actually satisfied (the sparse-path analog
+    of the dense schur_diag ill-scaling test)."""
+    rng = np.random.default_rng(4)
+    n = 120
+    P = sp.diags(2.0 + rng.uniform(0, 1, n), format="csc")
+    q = rng.standard_normal(n)
+    # equality block with row scales spanning 1e-4 .. 1e4
+    k = 8
+    G = rng.standard_normal((k, n))
+    scales = np.logspace(-4, 4, k)
+    G = G * scales[:, None]
+    x_feas = rng.standard_normal(n) * 0.1
+    h = G @ x_feas
+    A = sp.vstack([sp.csc_matrix(G), sp.eye(n), -sp.eye(n)], format="csc")
+    b = np.concatenate([h, np.ones(n), np.ones(n)])
+    cones = [ct.ZeroConeT(k), ct.NonnegativeConeT(2 * n)]
+    sol = ct.DefaultSolver(P, q, A, b, cones, _mf()).solve()
+    assert sol.status == ct.SolverStatus.Solved
+    viol = np.abs(G @ sol.x - h) / np.maximum(1.0, np.abs(h))
+    assert viol.max() < 1e-7
