@@ -33,18 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 # relayout copies per fori step: measured 34.6 ms vs 0.08 ms for the same
 # (95, c=128, r=160) bucket.
 _PW = 128
+_BK = 32   # inner rank-1 chain length (f32 accuracy: match the XLA path)
 _VMEM_BYTES = 13 * 2 ** 20  # total scoped-VMEM budget (hardware limit 16M)
 
 
 def lane_block(r_pad: int, dtype_bytes: int = 4) -> int:
     """Lanes per grid step so the kernel's scoped VMEM fits: the in + out
     front blocks plus the panel/trailing-update temporaries come to ~5
-    front-sized buffers per lane (measured against Mosaic's allocator)."""
+    front-sized buffers per lane (measured against Mosaic's allocator).
+    Capped at 8: larger lane blocks trip pathological Mosaic layout
+    choices on some shapes (measured 28.8 ms vs 0.08 ms for the same
+    (95, c=128, r=160) bucket at KB=16 vs KB=8), and per-grid-step
+    overhead is negligible at these sizes."""
     per_lane = 5 * r_pad * r_pad * dtype_bytes
     kb = max(1, _VMEM_BYTES // max(per_lane, 1))
-    # power of two, clamped: small blocks waste grid steps, huge ones VMEM
     kb = 1 << (kb.bit_length() - 1)
-    return int(min(kb, 128))
+    return int(min(kb, 8))
 
 
 def supported(c_pad: int, r_pad: int, dtype) -> bool:
@@ -93,36 +97,60 @@ def front_partial_ldl(F, signs, c, eps, delta, interpret=False):
             dvec = jnp.ones((KB, w), F.dtype)
             sblk = sign_ref[:, p0:p_end]
 
-            def col_step(t, carry):
-                panel, dvec = carry
-                j = p0 + t
-                # column t of the panel / its pivot entry, via masked sums
-                colj = jnp.sum(
-                    jnp.where(pcol_ids == t, panel, 0.0), axis=2
-                )                                      # [KB, r]
-                is_piv = row_ids[:, :, 0] == j         # [KB, r]
-                d = jnp.sum(jnp.where(is_piv, colj, 0.0), axis=1)
-                sg = jnp.sum(jnp.where(loc_ids == t, sblk, 0.0), axis=1)
-                d = jnp.where(d * sg < eps, delta * sg, d)
-                l = jnp.where(
-                    row_ids[:, :, 0] > j, colj / d[:, None], 0.0
-                )                                      # [KB, r]
-                # row j of the panel (values of later columns at the pivot
-                # row), masked to columns > t
-                rowj = jnp.sum(
-                    jnp.where(row_ids == j, panel, 0.0), axis=1
-                )                                      # [KB, w]
-                rowv = jnp.where(loc_ids > t, rowj, 0.0)
-                panel = panel - l[:, :, None] * rowv[:, None, :]
-                # store the normalized L column in place
-                onehot = (pcol_ids == t).astype(panel.dtype)
-                panel = panel * (1.0 - onehot) + l[:, :, None] * onehot
-                dvec = jnp.where(loc_ids == t, d[:, None], dvec)
-                return panel, dvec
+            # inner 32-column blocks: the sequential rank-1 chain is
+            # confined to one block (matching the XLA path's f32 rounding
+            # behavior — 128-long chains stall iterative refinement);
+            # later panel columns update via full-width masked MXU dots,
+            # never slicing the lane dimension
+            for s0 in range(0, w, _BK):
+                s1 = min(s0 + _BK, w)
 
-            panel, dvec = jax.lax.fori_loop(
-                0, w, col_step, (panel, dvec)
-            )
+                def col_step(t, carry, s1=s1):
+                    panel, dvec = carry
+                    j = p0 + t
+                    colj = jnp.sum(
+                        jnp.where(pcol_ids == t, panel, 0.0), axis=2
+                    )                                  # [KB, r]
+                    is_piv = row_ids[:, :, 0] == j     # [KB, r]
+                    d = jnp.sum(jnp.where(is_piv, colj, 0.0), axis=1)
+                    sg = jnp.sum(jnp.where(loc_ids == t, sblk, 0.0), axis=1)
+                    d = jnp.where(d * sg < eps, delta * sg, d)
+                    l = jnp.where(
+                        row_ids[:, :, 0] > j, colj / d[:, None], 0.0
+                    )                                  # [KB, r]
+                    # rank-1 update only of the later columns WITHIN the
+                    # 32-block
+                    rowj = jnp.sum(
+                        jnp.where(row_ids == j, panel, 0.0), axis=1
+                    )                                  # [KB, w]
+                    rowv = jnp.where(
+                        (loc_ids > t) & (loc_ids < s1), rowj, 0.0
+                    )
+                    panel = panel - l[:, :, None] * rowv[:, None, :]
+                    onehot = (pcol_ids == t).astype(panel.dtype)
+                    panel = panel * (1.0 - onehot) + l[:, :, None] * onehot
+                    dvec = jnp.where(loc_ids == t, d[:, None], dvec)
+                    return panel, dvec
+
+                panel, dvec = jax.lax.fori_loop(
+                    s0, s1, col_step, (panel, dvec)
+                )
+
+                if s1 < w:
+                    # inter-block update of panel columns >= s1:
+                    # F[:, i, t'] -= Σ_{t in block} L[:, i, t]·d_t·L[:, t', t]
+                    blk = (loc_ids >= s0) & (loc_ids < s1)    # [KB, w]
+                    Wd = panel * jnp.where(blk, dvec, 0.0)[:, None, :]
+                    R_all = panel[:, p0:p_end, :]             # [KB, w, w]
+                    upd = jax.lax.dot_general(
+                        Wd, R_all,
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=F.dtype,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                          # [KB, r, w]
+                    later = (loc_ids >= s1).astype(F.dtype)
+                    panel = panel - upd * later[:, None, :]
+
             out_ref[:, :, p0:p_end] = panel
             d_ref[:, p0:p_end] = dvec
 
