@@ -37,7 +37,9 @@ def main():
     B, n = 8, 200
     Ps, q, A, b = make_instances(B, n)
     cones = [ct.NonnegativeConeT(2 * n)]
-    settings = ct.DefaultSettings(
+    # f32 preset: the default 1e-8 tolerances sit below f32 resolution
+    # (the accelerator regime); f64 oracle runs use DefaultSettings()
+    settings = ct.DefaultSettings.for_float32(
         verbose=False, direct_solve_method="multifrontal"
     )
 

@@ -319,3 +319,23 @@ def test_multifrontal_ill_scaled_equality_rows():
     assert sol.status == ct.SolverStatus.Solved
     viol = np.abs(G @ sol.x - h) / np.maximum(1.0, np.abs(h))
     assert viol.max() < 1e-7
+
+
+def test_sparse_path_json_roundtrip(tmp_path):
+    """save_to_file on a sparse-path solver writes reference-format JSON
+    that reconstructs to the same solution (wire compat, json.rs)."""
+    rng = np.random.default_rng(6)
+    n = 80
+    P = sp.diags([2.0 + rng.uniform(0, 1, n)], [0], format="csc")
+    q = rng.standard_normal(n)
+    A = sp.vstack([sp.eye(n), -sp.eye(n)], format="csc")
+    b = np.ones(2 * n)
+    cones = [ct.NonnegativeConeT(2 * n)]
+    solver = ct.DefaultSolver(P, q, A, b, cones, _mf())
+    ref = solver.solve()
+    path = str(tmp_path / "sparse_problem.json")
+    solver.save_to_file(path)
+    solver2 = ct.DefaultSolver.load_from_file(path)
+    out = solver2.solve()
+    assert out.status == ref.status == ct.SolverStatus.Solved
+    assert abs(out.obj_val - ref.obj_val) < 1e-8
