@@ -229,7 +229,7 @@ def symbolic_factor_csc(
 # supernodes
 # --------------------------------------------------------------------------
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class _SNode:
     cols: np.ndarray   # sorted pivot columns (permuted frame)
     rows: np.ndarray   # sorted update rows (all > cols.max())
@@ -244,11 +244,13 @@ def _fundamental_supernodes(
     """Fundamental supernodes: runs of columns with nested patterns
     (parent[j-1] == j and lnz[j-1] == lnz[j] + 1)."""
     lnz = np.diff(L_ptr)
-    starts = [0] if n else []
-    for j in range(1, n):
-        if not (parent[j - 1] == j and lnz[j - 1] == lnz[j] + 1):
-            starts.append(j)
-    starts.append(n)
+    if n:
+        chain = (parent[:-1] == np.arange(1, n)) & (lnz[:-1] == lnz[1:] + 1)
+        starts = np.concatenate(
+            [[0], np.where(~chain)[0] + 1, [n]]
+        ).tolist()
+    else:
+        starts = [0]
 
     snode_of = np.zeros(n, np.int64)
     nodes: List[_SNode] = []
@@ -394,6 +396,53 @@ def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
             pn.children.extend(nd.children)
             nd.alive = False
             nz[p] = nz_m
+
+
+def _amalgamate_nodes(nodes: List[_SNode], max_cols: int,
+                      relax_frac: float) -> None:
+    """Amalgamation dispatcher: the native C++ loop
+    (native/symbolic.cpp:cl_amalgamate — identical merge decisions) when
+    available, else the Python reference implementation.  The Python loop
+    is the host-setup hot spot at large N (~2.4 s at n+m = 210k)."""
+    from .. import native
+
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return
+    cols_ptr = np.zeros(n_nodes + 1, np.int64)
+    rows_ptr = np.zeros(n_nodes + 1, np.int64)
+    for i, nd in enumerate(nodes):
+        cols_ptr[i + 1] = cols_ptr[i] + nd.cols.size
+        rows_ptr[i + 1] = rows_ptr[i] + nd.rows.size
+    cols_idx = np.concatenate([nd.cols for nd in nodes])
+    rows_idx = (
+        np.concatenate([nd.rows for nd in nodes])
+        if rows_ptr[-1]
+        else np.zeros(0, np.int64)
+    )
+    parent = np.asarray([nd.parent for nd in nodes], np.int64)
+    post = np.asarray(_postorder(nodes), np.int64)
+
+    out = native.amalgamate(
+        cols_ptr, cols_idx, rows_ptr, rows_idx, parent, post,
+        max_cols, relax_frac,
+    )
+    if out is None:
+        _amalgamate(nodes, max_cols, relax_frac)
+        return
+
+    alive, ocp, oci, orp, ori, pout = out
+    children: List[List[int]] = [[] for _ in range(n_nodes)]
+    for i, nd in enumerate(nodes):
+        nd.alive = bool(alive[i])
+        nd.parent = int(pout[i])
+        if nd.alive:
+            nd.cols = oci[ocp[i] : ocp[i + 1]].copy()
+            nd.rows = ori[orp[i] : orp[i + 1]].copy()
+            if nd.parent >= 0:
+                children[nd.parent].append(i)
+    for i, nd in enumerate(nodes):
+        nd.children = children[i]
 
 
 # --------------------------------------------------------------------------
@@ -544,7 +593,7 @@ def analyze(
 
         nodes = _fundamental_supernodes(N, parent, L_ptr, L_idx)
         _split_wide(nodes, max_supernode_cols)
-        _amalgamate(nodes, max_supernode_cols, relax_frac)
+        _amalgamate_nodes(nodes, max_supernode_cols, relax_frac)
 
         live = [i for i, nd in enumerate(nodes) if nd.alive]
         # levelize

@@ -210,4 +210,128 @@ int cl_postorder(int64_t n, const int64_t* parent, int64_t* post_out)
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// Relaxed supernode amalgamation (CHOLMOD-style, TPU-tuned thresholds).
+//
+// Mirrors clarabel_tpu/kkt/mf_symbolic.py::_amalgamate exactly: visiting
+// nodes in the given postorder, a child merges into its parent when the
+// merged panel's explicit-zero fraction stays under a size-dependent
+// threshold.  The Python loop is the host-setup hot spot at large N
+// (~2.4 s of per-node NumPy set algebra at n+m = 210k); this native
+// version does the same sorted-array merges in C++.
+//
+//   n_nodes        : node count (post-split supernodes)
+//   cols_ptr/idx   : per-node sorted pivot columns (flattened)
+//   rows_ptr/idx   : per-node sorted update rows (flattened)
+//   parent         : size n_nodes, -1 marks roots
+//   post           : postorder of node indices (computed pre-merge)
+//   max_cols       : pivot-column cap per merged node
+//   relax_frac     : zero-fraction cap for the largest panels
+// Outputs:
+//   alive          : 1 for surviving nodes
+//   out_cols_ptr/idx, out_rows_ptr/idx : merged arrays (dead nodes empty;
+//     capacities: cols <= total input cols, rows <= total input rows)
+//   parent_out     : updated parents over surviving nodes
+// ---------------------------------------------------------------------
+int cl_amalgamate(
+    int64_t n_nodes,
+    const int64_t* cols_ptr, const int64_t* cols_idx,
+    const int64_t* rows_ptr, const int64_t* rows_idx,
+    const int64_t* parent,
+    const int64_t* post,
+    int64_t max_cols,
+    double relax_frac,
+    uint8_t* alive,
+    int64_t* out_cols_ptr, int64_t* out_cols_idx,
+    int64_t* out_rows_ptr, int64_t* out_rows_idx,
+    int64_t* parent_out)
+{
+    if (n_nodes <= 0) { out_cols_ptr[0] = 0; out_rows_ptr[0] = 0; return 0; }
+
+    std::vector<std::vector<int64_t>> cols(n_nodes), rows(n_nodes);
+    std::vector<std::vector<int64_t>> children(n_nodes);
+    std::vector<int64_t> par(parent, parent + n_nodes);
+    std::vector<double> nz(n_nodes);
+
+    auto panel_cells = [](int64_t c, int64_t r) -> double {
+        return (double)c * (double)r - (double)(c * (c - 1)) / 2.0;
+    };
+
+    for (int64_t i = 0; i < n_nodes; ++i) {
+        cols[i].assign(cols_idx + cols_ptr[i], cols_idx + cols_ptr[i + 1]);
+        rows[i].assign(rows_idx + rows_ptr[i], rows_idx + rows_ptr[i + 1]);
+        alive[i] = 1;
+        int64_t c = (int64_t)cols[i].size();
+        nz[i] = panel_cells(c, c + (int64_t)rows[i].size());
+        if (par[i] >= 0) children[par[i]].push_back(i);
+    }
+
+    auto threshold = [&](int64_t c_m) -> double {
+        if (c_m <= 32) return 1.0;
+        if (c_m <= 128) return 0.8;
+        if (c_m <= 256) return 0.5;
+        return relax_frac;
+    };
+
+    std::vector<int64_t> m_cols, rows_u, m_rows;
+    for (int64_t k = 0; k < n_nodes; ++k) {
+        int64_t s = post[k];
+        if (!alive[s]) continue;
+        int64_t p = par[s];
+        if (p < 0) continue;
+        int64_t c_m = (int64_t)(cols[s].size() + cols[p].size());
+        if (c_m > max_cols) continue;
+
+        // disjoint sorted column union
+        m_cols.resize(cols[s].size() + cols[p].size());
+        std::merge(cols[s].begin(), cols[s].end(),
+                   cols[p].begin(), cols[p].end(), m_cols.begin());
+        // row union, deduplicated, minus the merged columns
+        rows_u.resize(rows[s].size() + rows[p].size());
+        std::merge(rows[s].begin(), rows[s].end(),
+                   rows[p].begin(), rows[p].end(), rows_u.begin());
+        rows_u.erase(std::unique(rows_u.begin(), rows_u.end()), rows_u.end());
+        m_rows.clear();
+        m_rows.reserve(rows_u.size());
+        std::set_difference(rows_u.begin(), rows_u.end(),
+                            m_cols.begin(), m_cols.end(),
+                            std::back_inserter(m_rows));
+
+        double cells_m = panel_cells(c_m, c_m + (int64_t)m_rows.size());
+        double nz_m = nz[s] + nz[p];
+        double zfrac = 1.0 - nz_m / std::max(cells_m, 1.0);
+        if (zfrac <= threshold(c_m)) {
+            cols[p].swap(m_cols);
+            rows[p].swap(m_rows);
+            auto& pc = children[p];
+            pc.erase(std::remove(pc.begin(), pc.end(), s), pc.end());
+            for (int64_t c : children[s]) {
+                par[c] = p;
+                pc.push_back(c);
+            }
+            alive[s] = 0;
+            nz[p] = nz_m;
+        }
+    }
+
+    int64_t cpos = 0, rpos = 0;
+    for (int64_t i = 0; i < n_nodes; ++i) {
+        out_cols_ptr[i] = cpos;
+        out_rows_ptr[i] = rpos;
+        if (alive[i]) {
+            std::memcpy(out_cols_idx + cpos, cols[i].data(),
+                        cols[i].size() * sizeof(int64_t));
+            cpos += (int64_t)cols[i].size();
+            std::memcpy(out_rows_idx + rpos, rows[i].data(),
+                        rows[i].size() * sizeof(int64_t));
+            rpos += (int64_t)rows[i].size();
+        }
+        parent_out[i] = par[i];
+    }
+    out_cols_ptr[n_nodes] = cpos;
+    out_rows_ptr[n_nodes] = rpos;
+    return 0;
+}
+
 }  // extern "C"
+

@@ -64,3 +64,49 @@ def test_symbolic_pattern_is_chordal_superset():
     L_cols, _ = pysym.symbolic_cholesky(n, lower)
     for j in range(n):
         assert set(lower[j]) <= set(L_cols[j])
+
+
+def test_native_amalgamate_matches_python():
+    """cl_amalgamate must make identical merge decisions to the Python
+    reference loop: same surviving nodes, cols/rows, parents — hence an
+    identical multifrontal schedule."""
+    import copy
+
+    import scipy.sparse as sp
+
+    from clarabel_tpu import native
+    from clarabel_tpu.kkt import mf_symbolic as mfs
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    for trial, pattern in enumerate(
+        [
+            sp.diags([np.ones(300), np.ones(299), np.ones(299)], [0, 1, -1]),
+            sp.random(200, 200, density=0.03, random_state=1) + sp.eye(200),
+        ]
+    ):
+        K = sp.csc_matrix(sp.tril(pattern))
+        n = K.shape[0]
+        strict = sp.tril(K, -1).tocsc()
+        parent, L_ptr, L_idx = mfs.symbolic_factor_csc(
+            n, strict.indptr.astype(np.int64), strict.indices.astype(np.int64)
+        )
+        nodes_a = mfs._fundamental_supernodes(n, parent, L_ptr, L_idx)
+        mfs._split_wide(nodes_a, 1024)
+        nodes_b = copy.deepcopy(nodes_a)
+
+        mfs._amalgamate_nodes(nodes_a, 1024, 0.35)  # native
+        mfs._amalgamate(nodes_b, 1024, 0.35)        # python reference
+
+        assert [nd.alive for nd in nodes_a] == [nd.alive for nd in nodes_b]
+        for a, b in zip(nodes_a, nodes_b):
+            if not a.alive:
+                continue
+            np.testing.assert_array_equal(a.cols, b.cols)
+            np.testing.assert_array_equal(a.rows, b.rows)
+            assert a.parent == b.parent
+            assert sorted(a.children) == sorted(b.children)
