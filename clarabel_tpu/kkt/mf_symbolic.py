@@ -398,6 +398,118 @@ def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
             nz[p] = nz_m
 
 
+def _build_schedule(N, parent, L_ptr, L_idx, max_cols, relax_frac):
+    """Supernode schedule: (nodes, live, level_of).
+
+    ``nodes`` maps node id -> _SNode for SURVIVING nodes (a dict on the
+    native fast path, the full list on the Python fallback); children
+    lists reference surviving ids only.
+
+    Fast path: fundamental-supernode boundaries, split points, per-node
+    row patterns, and the assembly-tree parents are all computed as flat
+    vectorized arrays (a supernode's rows are a suffix of its first
+    column's L pattern, which also holds for split chunks), then the
+    native C++ amalgamation merges them — no per-node Python objects
+    until the few surviving nodes are materialized.
+    """
+    from .. import native
+
+    lib = native._load()
+    if (
+        lib is None
+        or not hasattr(lib, "cl_amalgamate")
+        or not hasattr(lib, "cl_postorder_forest")
+        or N == 0
+    ):
+        nodes = _fundamental_supernodes(N, parent, L_ptr, L_idx)
+        _split_wide(nodes, max_cols)
+        _amalgamate(nodes, max_cols, relax_frac)
+        live = [i for i, nd in enumerate(nodes) if nd.alive]
+        level_of: Dict[int, int] = {}
+        for s in _postorder(nodes):
+            if not nodes[s].alive:
+                continue
+            kids = [level_of[c] for c in nodes[s].children]
+            level_of[s] = (max(kids) + 1) if kids else 0
+        return nodes, live, level_of
+
+    lnz = np.diff(L_ptr)
+    chain = (parent[:-1] == np.arange(1, N)) & (lnz[:-1] == lnz[1:] + 1)
+    starts = np.concatenate([[0], np.where(~chain)[0] + 1]).astype(np.int64)
+    widths = np.diff(np.concatenate([starts, [N]]))
+    wide = np.where(widths > max_cols)[0]
+    if wide.size:
+        extra = [
+            np.arange(starts[i] + max_cols, starts[i] + widths[i], max_cols)
+            for i in wide
+        ]
+        starts = np.sort(np.concatenate([starts] + extra))
+    bounds = np.concatenate([starts, [N]])
+    k = starts.size
+    j0 = bounds[:-1]
+    w = np.diff(bounds)
+
+    # rows of node s = the suffix of column j0's L pattern past its own
+    # pivot columns (exact for fundamental supernodes and split chunks)
+    rbeg = L_ptr[j0] + (w - 1)
+    counts = L_ptr[j0 + 1] - rbeg
+    total = int(counts.sum())
+    rows_ptr = np.zeros(k + 1, np.int64)
+    np.cumsum(counts, out=rows_ptr[1:])
+    if total:
+        src = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(rows_ptr[:-1], counts)
+            + np.repeat(rbeg, counts)
+        )
+        rows_idx = L_idx[src]
+    else:
+        rows_idx = np.zeros(0, np.int64)
+    cols_ptr = bounds
+    cols_idx = np.arange(N, dtype=np.int64)
+
+    snode_of = np.repeat(np.arange(k, dtype=np.int64), w)
+    pcol = parent[bounds[1:] - 1]
+    node_parent = np.where(
+        pcol >= 0, snode_of[np.clip(pcol, 0, N - 1)], -1
+    ).astype(np.int64)
+
+    post = np.zeros(k, np.int64)
+    lib.cl_postorder_forest(
+        k, native._p(np.ascontiguousarray(node_parent)), native._p(post)
+    )
+    alive, ocp, oci, orp, ori, pout = native.amalgamate(
+        cols_ptr, cols_idx, rows_ptr, rows_idx, node_parent, post,
+        max_cols, relax_frac,
+    )
+
+    nodes: Dict[int, _SNode] = {}
+    live = [int(i) for i in np.where(alive)[0]]
+    for i in live:
+        nodes[i] = _SNode(
+            cols=oci[ocp[i] : ocp[i + 1]].copy(),
+            rows=ori[orp[i] : orp[i + 1]].copy(),
+            children=[],
+            parent=int(pout[i]),
+        )
+    for i in live:
+        p = nodes[i].parent
+        if p >= 0:
+            nodes[p].children.append(i)
+
+    # levelize bottom-up over the original postorder, skipping dead ids
+    level_of: Dict[int, int] = {}
+    for s in post:
+        s = int(s)
+        if not alive[s]:
+            continue
+        level_of.setdefault(s, 0)
+        p = int(pout[s])
+        if p >= 0:
+            level_of[p] = max(level_of.get(p, 0), level_of[s] + 1)
+    return nodes, live, level_of
+
+
 def _amalgamate_nodes(nodes: List[_SNode], max_cols: int,
                       relax_frac: float) -> None:
     """Amalgamation dispatcher: the native C++ loop
@@ -591,18 +703,9 @@ def analyze(
 
         parent, L_ptr, L_idx = symbolic_factor_csc(N, s_ptr, s_idx)
 
-        nodes = _fundamental_supernodes(N, parent, L_ptr, L_idx)
-        _split_wide(nodes, max_supernode_cols)
-        _amalgamate_nodes(nodes, max_supernode_cols, relax_frac)
-
-        live = [i for i, nd in enumerate(nodes) if nd.alive]
-        # levelize
-        level_of: Dict[int, int] = {}
-        for s in _postorder(nodes):
-            if not nodes[s].alive:
-                continue
-            kids = [level_of[c] for c in nodes[s].children]
-            level_of[s] = (max(kids) + 1) if kids else 0
+        nodes, live, level_of = _build_schedule(
+            N, parent, L_ptr, L_idx, max_supernode_cols, relax_frac
+        )
         n_levels = (max(level_of.values()) + 1) if live else 0
         return perm, inv, Kp, kperm_map, nodes, live, level_of, n_levels
 

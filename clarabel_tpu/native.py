@@ -56,6 +56,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cl_symbolic_count.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
     lib.cl_symbolic_pattern.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
     lib.cl_postorder.argtypes = [ctypes.c_int64, i64p, i64p]
+    if hasattr(lib, "cl_postorder_forest"):
+        lib.cl_postorder_forest.argtypes = [ctypes.c_int64, i64p, i64p]
     if hasattr(lib, "cl_amalgamate"):
         lib.cl_amalgamate.argtypes = [
             ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,

@@ -333,5 +333,38 @@ int cl_amalgamate(
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// Forest postorder over an arbitrary node-parent array, replicating
+// mf_symbolic._postorder exactly: roots ascending, DFS that visits the
+// smallest child first, node emitted after its children.
+// ---------------------------------------------------------------------
+int cl_postorder_forest(int64_t n, const int64_t* parent, int64_t* post_out)
+{
+    std::vector<std::vector<int64_t>> children(n);
+    std::vector<int64_t> roots;
+    for (int64_t v = 0; v < n; ++v) {
+        if (parent[v] < 0) roots.push_back(v);
+        else children[parent[v]].push_back(v);
+    }
+    std::vector<std::pair<int64_t, char>> stack;
+    for (auto it = roots.rbegin(); it != roots.rend(); ++it)
+        stack.push_back({*it, 0});
+    int64_t k = 0;
+    while (!stack.empty()) {
+        auto [v, done] = stack.back();
+        stack.pop_back();
+        if (done) {
+            post_out[k++] = v;
+        } else {
+            stack.push_back({v, 1});
+            auto& ch = children[v];
+            for (auto it = ch.rbegin(); it != ch.rend(); ++it)
+                stack.push_back({*it, 0});
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
+
 

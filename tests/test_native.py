@@ -110,3 +110,44 @@ def test_native_amalgamate_matches_python():
             np.testing.assert_array_equal(a.rows, b.rows)
             assert a.parent == b.parent
             assert sorted(a.children) == sorted(b.children)
+
+
+def test_flat_schedule_matches_python_pipeline(monkeypatch):
+    """analyze() through the native flat supernode pipeline must produce
+    the exact schedule of the Python object pipeline (same buckets, index
+    maps, workspace layouts)."""
+    import scipy.sparse as sp
+
+    from clarabel_tpu import native
+    from clarabel_tpu.kkt import mf_symbolic as mfs
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    n = 400
+    K = sp.tril(
+        sp.diags([np.full(n, 4.0), np.ones(n - 1), np.ones(n - 1),
+                  0.5 * np.ones(n - 17)], [0, -1, 1, -17])
+    ).tocsc()
+    dsigns = np.where(rng.uniform(size=n) < 0.5, 1.0, -1.0)
+
+    plan_native = mfs.analyze(K, dsigns)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    plan_python = mfs.analyze(K, dsigns)
+
+    assert plan_native.nnzL == plan_python.nnzL
+    assert plan_native.W == plan_python.W
+    assert plan_native.total_cells == plan_python.total_cells
+    assert len(plan_native.levels) == len(plan_python.levels)
+    for la, lb in zip(plan_native.levels, plan_python.levels):
+        assert [(B.k, B.c_pad, B.u_pad, B.w_off, B.f_off) for B in la] == [
+            (B.k, B.c_pad, B.u_pad, B.w_off, B.f_off) for B in lb
+        ]
+    assert set(plan_native.arrays) == set(plan_python.arrays)
+    for key in plan_native.arrays:
+        np.testing.assert_array_equal(
+            plan_native.arrays[key], plan_python.arrays[key], err_msg=key
+        )
