@@ -118,3 +118,26 @@ def test_sparse_batch_over_mesh():
     assert all(st == ct.SolverStatus.Solved for st in out.statuses())
     ref = ct.DefaultSolver(Ps[4], q[4], A, b[4], cones, _mf_settings()).solve()
     assert np.allclose(out.x[4], ref.x, atol=1e-7)
+
+
+def test_sparse_batch_mixed_statuses():
+    """A feasible lane and a primal-infeasible lane in one sparse batch:
+    per-lane statuses diverge while the batch runs to collective
+    completion (certificates must survive the vmapped while loop)."""
+    n = 30
+    P = sp.csc_matrix((n, n))
+    q = np.ones(n)
+    # x_0 <= 1 and -x_0 <= b1 with b1 = -2 -> infeasible (x_0 >= 2, x_0 <= 1)
+    A = sp.vstack(
+        [sp.eye(n), -sp.eye(n)], format="csc"
+    )
+    b_feas = np.ones(2 * n)
+    b_inf = np.ones(2 * n)
+    b_inf[n] = -2.0
+    solver = ct.SparseBatchSolver(
+        [P, P], np.stack([q, q]), [A, A], np.stack([b_feas, b_inf]),
+        [ct.NonnegativeConeT(2 * n)], _mf_settings(),
+    )
+    out = solver.solve()
+    assert out.statuses()[0] == ct.SolverStatus.Solved
+    assert out.statuses()[1] == ct.SolverStatus.PrimalInfeasible
