@@ -164,3 +164,27 @@ def test_wright_omega():
     w = np.asarray(wright_omega(jnp.asarray(pts)))
     err = np.abs(w + np.log(w) - pts) / pts
     assert err.max() < 1e-9
+
+
+def test_gp_seg_sum_lowers_without_scatter():
+    """genpow per-cone sums must lower as matmul contractions, NOT
+    segment_sum scatters: the scatter's index-clamp pattern SIGABRTs the
+    XLA TPU compiler inside the solver loop's cond (algebraic-simplifier
+    'A cycle is detected ... scatter-add'); see nonsymmetric._gp_seg_sum."""
+    import jax
+    import jax.numpy as jnp
+
+    import clarabel_tpu as ct
+    from clarabel_tpu.cones import api
+    from clarabel_tpu.cones import nonsymmetric as ns
+    from clarabel_tpu.cones.layout import ConeLayout
+
+    layout = ConeLayout(
+        api.collapse_cones(
+            (ct.GenPowerConeT([0.5, 0.5], 2), ct.GenPowerConeT([0.3, 0.7], 1))
+        )
+    )
+    x = jnp.ones(layout.m_genpow, jnp.float32)
+    jaxpr = str(jax.make_jaxpr(lambda v: ns._gp_seg_sum(layout, v))(x))
+    assert "scatter" not in jaxpr
+    assert "dot_general" in jaxpr
