@@ -34,6 +34,11 @@ from jax import lax
 
 _PANEL = 128
 _BLOCK = 32
+#: pivot blocks up to this width get their unit-lower inverse precomputed
+#: at factor time, turning each triangular sweep of the (latency-bound)
+#: solves into one batched MXU matmul.  One factor serves ~4-6 solves per
+#: IPM iteration, so trading a little factor work for cheaper solves wins.
+_INV_MAX_C = 256
 
 
 def _diag_factor(D, signs, eps, delta):
@@ -152,7 +157,11 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False):
     if use_pallas:
         from . import pallas_front
     dtype = Kvals.dtype
-    Kp = Kvals[arrays["kperm_map"]]
+    # kkt/sparse.build composes the fill-reducing permutation into its
+    # assembly maps and drops "kperm_map"; standalone plans (tests, direct
+    # analyze() users) still carry canonical-order values
+    kp = arrays.get("kperm_map")
+    Kp = Kvals if kp is None else Kvals[kp]
     dvec = jnp.ones(plan.W, dtype)
     # ONE globally-sorted scatter initializes every front from the KKT
     # nonzeros (maps are destination-sorted and unique: each K entry
@@ -187,7 +196,17 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False):
                 Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta)
             ustore[(li, bi)] = U
             dvec = lax.dynamic_update_slice(dvec, d.reshape(-1), (B.w_off,))
-            lvl_out.append((Lc, d))
+            if B.c_pad <= _INV_MAX_C:
+                eye = jnp.broadcast_to(
+                    jnp.eye(B.c_pad, dtype=dtype), (B.k, B.c_pad, B.c_pad)
+                )
+                Linv = lax.linalg.triangular_solve(
+                    Lc[:, : B.c_pad, :], eye, left_side=True, lower=True,
+                    unit_diagonal=True,
+                )
+            else:
+                Linv = None
+            lvl_out.append((Lc, d, Linv))
             ok = ok & okb
         out.append(lvl_out)
     return {"levels": out, "dvec": dvec}, ok
@@ -222,12 +241,15 @@ def mf_solve(plan, arrays, factors, rhs):
 
     for li, lvl in enumerate(plan.levels):
         for bi, B in enumerate(lvl):
-            Lc, _d = factors["levels"][li][bi]
+            Lc, _d, Linv = factors["levels"][li][bi]
             L11 = Lc[:, : B.c_pad, :]
-            y = lax.linalg.triangular_solve(
-                L11, blk(x, B), left_side=True, lower=True,
-                unit_diagonal=True,
-            )
+            if Linv is not None:
+                y = jnp.einsum("kij,kjr->kir", Linv, blk(x, B))
+            else:
+                y = lax.linalg.triangular_solve(
+                    L11, blk(x, B), left_side=True, lower=True,
+                    unit_diagonal=True,
+                )
             x = put(x, B, y)
             if B.u_pad:
                 L21 = Lc[:, B.c_pad :, :]
@@ -239,7 +261,7 @@ def mf_solve(plan, arrays, factors, rhs):
 
     for li in range(len(plan.levels) - 1, -1, -1):
         for bi, B in enumerate(plan.levels[li]):
-            Lc, _d = factors["levels"][li][bi]
+            Lc, _d, Linv = factors["levels"][li][bi]
             L11 = Lc[:, : B.c_pad, :]
             v = blk(x, B)
             if B.u_pad:
@@ -247,10 +269,13 @@ def mf_solve(plan, arrays, factors, rhs):
                 v = v - jnp.einsum(
                     "kuc,kur->kcr", L21, x[arrays[B.key + ":rows_w"]]
                 )
-            xc = lax.linalg.triangular_solve(
-                L11, v, left_side=True, lower=True,
-                unit_diagonal=True, transpose_a=True,
-            )
+            if Linv is not None:
+                xc = jnp.einsum("kji,kjr->kir", Linv, v)
+            else:
+                xc = lax.linalg.triangular_solve(
+                    L11, v, left_side=True, lower=True,
+                    unit_diagonal=True, transpose_a=True,
+                )
             x = put(x, B, xc)
 
     out = x[arrays["solve_out"]]

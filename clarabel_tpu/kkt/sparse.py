@@ -53,6 +53,8 @@ class SparseKKT:
     np_arrays: Dict[str, np.ndarray]
     soc_expanded: tuple = ()
     genpow_expanded: bool = False
+    #: static diagonal offsets of the DIA matvec layout (empty = fallback)
+    dia_offsets: tuple = ()
 
     def device_data(self, dtype, device=None):
         """Stage every index array (plan + assembly maps) onto ``device``
@@ -133,6 +135,28 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         K_low, dsigns, ordering=ordering, max_supernode_cols=max_supernode_cols
     )
 
+    # Assemble Kvals directly in the factor's permuted CSC order: composing
+    # the fill-reducing permutation into the assembly maps here removes the
+    # per-refactor device gather Kvals[kperm_map] (~2 ms at nnz ~ 1e5 —
+    # TPU index ops are latency-bound, not bandwidth-bound).
+    kperm = plan.arrays.pop("kperm_map").astype(np.int64)
+    inv_kperm = np.empty_like(kperm)
+    inv_kperm[kperm] = np.arange(nnz, dtype=np.int64)
+    map_P = inv_kperm[map_P].astype(np.int32)
+    map_A = inv_kperm[map_A].astype(np.int32)
+    map_hs = inv_kperm[map_hs].astype(np.int32)
+    map_exp = inv_kperm[map_exp].astype(np.int32)
+    map_diag = inv_kperm[map_diag].astype(np.int32)
+    K_rows = K_rows[kperm]
+    K_cols = K_cols[kperm]
+    # column-sorted strict-lower selection: the fallback matvec's transpose
+    # segment-sum needs sorted segment ids, and the permuted value order no
+    # longer sorts by column
+    strict_sel = np.where(K_rows != K_cols)[0].astype(np.int64)
+    strict_sel = strict_sel[
+        np.argsort(K_cols[strict_sel], kind="stable")
+    ].astype(np.int32)
+
     # row-sorted view of the nonzeros so the symmetric matvec's first
     # segment-sum runs with sorted segment ids (canonical CSC order is
     # (col, row)-sorted, which already sorts the transpose-part ids)
@@ -153,9 +177,35 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         "kkt:rows_sorted": K_rows[row_order],
         "kkt:cols_of_sorted": K_cols[row_order],
     }
+
+    # DIA (diagonal-offset) layout of the FULL symmetric pattern for the
+    # refinement matvec.  TPU index ops (gather/scatter/segment-sum) cost
+    # ~13 ns/element regardless of direction, so the win is to pay ONE
+    # scatter per KKT assembly to lay K out by diagonal offset — after
+    # that every matvec is pure vector math: y += K_dia[o] * shift(x, o)
+    # with *static* shifts (banded/MPC patterns have a handful of
+    # offsets).  Patterns with many distinct offsets (scattered or dense
+    # rows) keep the segment-sum fallback.
+    fr = np.concatenate([K_rows, K_cols[strict_sel]]).astype(np.int64)
+    fc = np.concatenate([K_cols, K_rows[strict_sel]]).astype(np.int64)
+    fslot = np.concatenate(
+        [np.arange(nnz, dtype=np.int64), strict_sel.astype(np.int64)]
+    )
+    uoff = np.unique(fc - fr)
+    dia_offsets: tuple = ()
+    if uoff.size and uoff.size <= 96 and uoff.size * N <= max(
+        8 * fr.size, 1 << 20
+    ):
+        oidx = np.searchsorted(uoff, fc - fr)
+        dia_pos = oidx * N + fr
+        order = np.argsort(dia_pos)
+        np_arrays["kkt:dia_pos"] = dia_pos[order].astype(np.int32)
+        np_arrays["kkt:dia_src"] = fslot[order].astype(np.int32)
+        dia_offsets = tuple(int(o) for o in uoff)
     return SparseKKT(
         plan=plan, n=n, m=m, N=N, nnz=nnz, np_arrays=np_arrays,
         soc_expanded=soc_expanded, genpow_expanded=genpow_expanded,
+        dia_offsets=dia_offsets,
     )
 
 
@@ -206,9 +256,11 @@ def sym_matvec(ctx: SparseKKT, data, Kvals, v):
     refinement against the unregularized K; directldlkktsolver.rs:266-321).
     ``v`` may be [N] or [N, r] (multi-RHS refinement).
 
-    Both segment sums run with sorted segment ids: the lower-triangle term
+    Two segment sums with sorted segment ids: the lower-triangle term
     through a row-sorted gather of the nonzeros, the transpose term
-    directly (canonical CSC order sorts by column)."""
+    through the column-sorted strict selection.  Prefer :func:`make_matvec`
+    where one Kvals vector serves several products — it pays one scatter to
+    reach the DIA layout and then each product is index-op-free."""
     rows, cols = data["kkt:K_rows"], data["kkt:K_cols"]
     ro = data["kkt:row_order"]
     Kr = Kvals[ro]
@@ -224,6 +276,49 @@ def sym_matvec(ctx: SparseKKT, data, Kvals, v):
         indices_are_sorted=True,
     )
     return y
+
+
+def make_matvec(ctx: SparseKKT, data, Kvals):
+    """Returns v -> K v for iterative refinement, amortized for several
+    products per assembled Kvals (the IPM does ~4 per iteration).
+
+    DIA fast path: ONE sorted scatter lays K out by diagonal offset; each
+    product is then Σ_o K_dia[o] ⊙ shift(v, o) with static shifts — no
+    gathers, no scatters, no segment sums (TPU index ops run at ~13 ns per
+    element; a 1e5-nnz matvec costs ~5 ms through them and ~0.2 ms here).
+    Patterns without a compact offset set fall back to the segment path.
+    """
+    offs = ctx.dia_offsets
+    if not offs:
+        return lambda v: sym_matvec(ctx, data, Kvals, v)
+
+    O = len(offs)
+    N = ctx.N
+    Kd = (
+        jnp.zeros(O * N, Kvals.dtype)
+        .at[data["kkt:dia_pos"]]
+        .set(
+            Kvals[data["kkt:dia_src"]],
+            indices_are_sorted=True, unique_indices=True,
+        )
+        .reshape(O, N)
+    )
+    lo = max(0, -min(offs))
+    hi = max(0, max(offs))
+
+    def mv(v):
+        single = v.ndim == 1
+        if single:
+            v = v[:, None]
+        vp = jnp.pad(v, ((lo, hi), (0, 0)))
+        acc = jnp.zeros_like(v)
+        for i, o in enumerate(offs):
+            acc = acc + Kd[i][:, None] * jax.lax.dynamic_slice_in_dim(
+                vp, lo + o, N, 0
+            )
+        return acc[:, 0] if single else acc
+
+    return mv
 
 
 def factor(ctx: SparseKKT, data, K_reg_vals, settings, use_pallas=False):

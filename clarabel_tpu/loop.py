@@ -467,7 +467,7 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
         mff, ok = kkt_sparse.factor(
             ctx, data, Kreg, settings, use_pallas=use_pallas
         )
-        K_true = lambda v: kkt_sparse.sym_matvec(ctx, data, Kvals, v)
+        K_true = kkt_sparse.make_matvec(ctx, data, Kvals)
         return ("mf", (ctx, data, mff)), K_true, ok
 
     method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
