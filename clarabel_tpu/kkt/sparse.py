@@ -39,6 +39,14 @@ from . import mf_symbolic, multifrontal
 #: (reference: socone.rs:46 SOC_NO_EXPANSION_MAX_SIZE = 4)
 SOC_NO_EXPANSION_MAX_SIZE = 4
 
+#: f32 keeps small cones dense instead: the expansion's ±1 extension
+#: pivots and η²-scaled extension rows floor the primal residual near
+#: 1e-4 in f32 (measured; STATUS.md "Known f32 tier behavior"), while a
+#: dense d×d Hs block costs only d(d+1)/2 nonzeros — cheap for d ≤ 64
+#: and numerically equivalent to the dense backends' path.
+SOC_NO_EXPANSION_MAX_SIZE_F32 = 64
+GENPOW_NO_EXPANSION_MAX_SIZE_F32 = 64
+
 
 @dataclasses.dataclass
 class SparseKKT:
@@ -70,20 +78,30 @@ class SparseKKT:
 
 
 def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
-          max_supernode_cols=1024) -> SparseKKT:
+          max_supernode_cols=1024, dtype=None) -> SparseKKT:
     """Symbolic setup.  ``P_rows/P_cols`` are the coordinates of the FULL
     symmetric P in the device COO order; ``A_rows/A_cols`` those of the
     (cone-permuted) A.  reference: kkt_assembly.rs:20-52 (structure),
-    qdldl.rs:433-464 + :905-922 (symbolic phase, via mf_symbolic)."""
+    qdldl.rs:433-464 + :905-922 (symbolic phase, via mf_symbolic).
+
+    ``dtype`` tunes the sparse-cone expansion thresholds: f32 keeps small
+    SOC/genpow cones as dense Hs blocks (see the *_F32 constants)."""
     m = layout.m
 
-    # sparse-cone low-rank expansions: big SOCs get the rank-2 form, all
+    # sparse-cone low-rank expansions: big SOCs get the rank-2 form,
     # genpow cones the rank-3 form (the reference always expands genpow;
-    # genpowcone.rs:165-167 Hs_is_diagonal = true)
-    soc_expanded = tuple(
-        d > SOC_NO_EXPANSION_MAX_SIZE for d in layout.soc_dims
+    # genpowcone.rs:165-167 Hs_is_diagonal = true).  In f32, small cones
+    # stay dense for accuracy (reference is f64-only and never faces this).
+    is_f32 = dtype is not None and np.dtype(dtype) == np.float32
+    soc_max = SOC_NO_EXPANSION_MAX_SIZE_F32 if is_f32 else SOC_NO_EXPANSION_MAX_SIZE
+    soc_expanded = tuple(d > soc_max for d in layout.soc_dims)
+    genpow_expanded = layout.num_genpow > 0 and not (
+        is_f32
+        and all(
+            c.nvars <= GENPOW_NO_EXPANSION_MAX_SIZE_F32
+            for c in layout.genpow_cones
+        )
     )
-    genpow_expanded = layout.num_genpow > 0
 
     hs_r, hs_c = cone_ops.hs_lower_coords(layout, soc_expanded, genpow_expanded)
     exp_r, exp_c, ext_signs = cone_ops.expansion_coords(

@@ -159,6 +159,7 @@ class SparseBatchSolver:
             sym_rows, sym_cols,
             A_perm.row.astype(np.int64), A_perm.col.astype(np.int64),
             ordering=self.settings.multifrontal_ordering,
+            dtype=dtype or _solver._default_dtype(),
         )
 
         self.B, self.n, self.m = B, n, m

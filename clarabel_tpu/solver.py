@@ -619,6 +619,7 @@ class DefaultSolver:
                 P_sym.row.astype(np.int64), P_sym.col.astype(np.int64),
                 A_perm.row.astype(np.int64), A_perm.col.astype(np.int64),
                 ordering=self.settings.multifrontal_ordering,
+                dtype=self._dtype,
             )
             # auto-mode cost-model veto (ldlsolvers/auto.rs analog): a bad
             # fill/schedule on a medium problem falls back to dense LU

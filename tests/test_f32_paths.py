@@ -236,3 +236,67 @@ def test_f32_powcone_multifrontal_sumpow():
     ).solve()
     assert sol.status == ct.SolverStatus.Solved
     assert abs(sol.obj_val + k ** (1.0 - alpha)) < 1e-2
+
+
+def test_f32_small_expansion_cones_stay_dense_and_solve():
+    """f32 keeps small SOC/genpow cones as dense Hs blocks on the sparse
+    path (kkt/sparse.SOC_NO_EXPANSION_MAX_SIZE_F32): the rank-2/3
+    expansion's extension rows floor the primal residual near 1e-4 in f32
+    and such problems previously landed at AlmostSolved (r2 STATUS "Known
+    f32 tier behavior").  With the dense fallback they must reach Solved
+    at the for_float32 preset.  f64 keeps the reference threshold of 4
+    (socone.rs:46) — covered by test_soc_rank2_expansion_matches_dense."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax
+    import clarabel_tpu as ct
+
+    dev = jax.devices("cpu")[0]
+    s = ct.DefaultSettings.for_float32(
+        direct_solve_method="multifrontal", verbose=False
+    )
+
+    # dim-40 SOC (the documented AlmostSolved case)
+    rng = np.random.default_rng(3)
+    d = 40
+    P = sp.eye(d, format="csc")
+    q = rng.standard_normal(d)
+    A = sp.vstack([sp.csc_matrix(np.ones((1, d))), -sp.eye(d)], format="csc")
+    b = np.concatenate([[1.0], np.zeros(d)])
+    cones = [ct.ZeroConeT(1), ct.SecondOrderConeT(d)]
+    solver = ct.DefaultSolver(P, q, A, b, cones, s, dtype="float32",
+                              device=dev)
+    assert solver._skkt.soc_expanded == (False,)  # dense fallback active
+    r = solver.solve()
+    r64 = ct.DefaultSolver(P, q, A, b, cones,
+                           ct.DefaultSettings(verbose=False)).solve()
+    assert r.status == ct.SolverStatus.Solved
+    assert abs(r.obj_val - r64.obj_val) < 1e-4
+
+    # the basic genpow program (the other documented case)
+    P2 = np.zeros((4, 4))
+    q2 = np.array([0.0, 0.0, -1.0, 0.0])
+    A2 = np.vstack([-np.eye(4),
+                    [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 0, 1.0]]])
+    b2 = np.array([0, 0, 0, 0, 1.0, 1.0, 0.5])
+    cones2 = [ct.GenPowerConeT([0.5, 0.5], 2), ct.ZeroConeT(3)]
+    solver2 = ct.DefaultSolver(sp.csc_matrix(P2), q2, sp.csc_matrix(A2), b2,
+                               cones2, s, dtype="float32", device=dev)
+    assert solver2._skkt.genpow_expanded is False
+    r2 = solver2.solve()
+    r2_64 = ct.DefaultSolver(P2, q2, A2, b2, cones2,
+                             ct.DefaultSettings(verbose=False)).solve()
+    assert r2.status == ct.SolverStatus.Solved
+    assert abs(r2.obj_val - r2_64.obj_val) < 1e-4
+
+    # a large SOC must still take the rank-2 expansion in f32
+    d3 = 200
+    P3 = sp.eye(d3, format="csc")
+    q3 = rng.standard_normal(d3)
+    A3 = sp.vstack([sp.csc_matrix(np.ones((1, d3))), -sp.eye(d3)],
+                   format="csc")
+    b3 = np.concatenate([[1.0], np.zeros(d3)])
+    solver3 = ct.DefaultSolver(P3, q3, A3, b3,
+                               [ct.ZeroConeT(1), ct.SecondOrderConeT(d3)],
+                               s, dtype="float32", device=dev)
+    assert solver3._skkt.soc_expanded == (True,)
