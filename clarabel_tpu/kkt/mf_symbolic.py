@@ -786,7 +786,15 @@ def analyze(
                     )
                     init_src.append(src)
                     init_dst.append(dst)
-                # extend-add from children
+                # extend-add from children.  The destination index of a
+                # child update entry is separable — lane·rp² + pos[i]·rp
+                # + pos[j] — so instead of a per-element scatter (TPU
+                # index ops cost ~13 ns/element; the extend-add was the
+                # single largest factor component at N=60k) the numeric
+                # kernel applies it as P·U·Pᵀ with a 0/1 row-selection
+                # matrix P built from ``rowpos`` — two batched MXU
+                # matmuls + one lane segment-sum per (parent, child
+                # storage) pair, exact for 0/1 P.
                 for ch in nd.children:
                     cnd = nodes[ch]
                     cu = cnd.rows.size
@@ -794,11 +802,11 @@ def analyze(
                         continue
                     sl, sb, slane = u_slot[ch]
                     cup = levels[sl][sb].u_pad
-                    ppos = posmap[cnd.rows]
-                    ti, tj = np.tril_indices(cu)
-                    src = slane * cup * cup + ti * cup + tj
-                    dst = lane * rp * rp + ppos[ti] * rp + ppos[tj]
-                    asm_groups.setdefault((sl, sb), []).append((src, dst))
+                    rowpos = np.full(cup, rp, np.int64)  # pad -> one_hot 0
+                    rowpos[:cu] = posmap[cnd.rows]
+                    asm_groups.setdefault((sl, sb), []).append(
+                        (slane, lane, rowpos)
+                    )
                 posmap[nd.cols] = -1
                 posmap[nd.rows] = -1
                 u_slot[s] = (li, bi, lane)
@@ -817,12 +825,17 @@ def analyze(
                 bucket_init[key] = (z, z)
             asm_list = []
             for (sl, sb), pairs in sorted(asm_groups.items()):
-                src = np.concatenate([p[0] for p in pairs])
-                dst = np.concatenate([p[1] for p in pairs])
-                order = np.argsort(dst, kind="stable")
+                pairs.sort(key=lambda p: p[1])  # sorted parent lanes
                 akey = f"{key}:asm{sl}_{sb}"
-                arrays[akey + ":src"] = src[order].astype(np.int32)
-                arrays[akey + ":dst"] = dst[order].astype(np.int32)
+                arrays[akey + ":clanes"] = np.asarray(
+                    [p[0] for p in pairs], np.int32
+                )
+                arrays[akey + ":planes"] = np.asarray(
+                    [p[1] for p in pairs], np.int32
+                )
+                arrays[akey + ":rowpos"] = np.stack(
+                    [p[2] for p in pairs]
+                ).astype(np.int32)
                 asm_list.append((sl, sb, akey))
             b = MFBucket(c_pad=cp, u_pad=up, k=k, node_ids=members, key=key)
             b.asm = asm_list  # type: ignore[attr-defined]

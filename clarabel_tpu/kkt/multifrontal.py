@@ -9,8 +9,10 @@ scheme prepared by :mod:`mf_symbolic`:
   - every level of the supernodal assembly tree is a batch of independent
     fronts, grouped into padded-size buckets;
   - fronts initialize from the KKT nonzeros with one flat scatter; child
-    update matrices extend-add with one flat scatter per (level, child
-    storage) pair;
+    update matrices extend-add as P·U·Pᵀ with 0/1 row-selection matrices
+    (two batched MXU matmuls + a lane segment-sum per (level, child
+    storage) pair — TPU scatters cost ~13 ns/element and dominated the
+    factor before this);
   - the partial factorization of a [k, r, r] front batch runs a
     ``lax.scan`` over pivot panels of ≤128 columns (VPU rank-1 updates
     inside the panel) and pushes the trailing Schur update through batched
@@ -29,6 +31,7 @@ oracle suite and f32 on TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -39,6 +42,28 @@ _BLOCK = 32
 #: solves into one batched MXU matmul.  One factor serves ~4-6 solves per
 #: IPM iteration, so trading a little factor work for cheaper solves wins.
 _INV_MAX_C = 256
+
+
+def _unit_lower_inverse(L):
+    """Exact inverse of a batch of unit-lower matrices stored as their
+    strictly-lower part N (zeros at and above the diagonal).
+
+    N is nilpotent with index ≤ c, so (I+N)⁻¹ = Σ (−N)ʲ factors exactly
+    into the Neumann product (I+M)(I+M²)(I+M⁴)··· with M = −N —
+    ⌈log₂ c⌉ rounds of batched MXU matmuls.  XLA's ``triangular_solve``
+    lowers to a sequential substitution loop on TPU (latency-bound at
+    multifrontal block sizes); this is the same inverse as a handful of
+    parallel matmuls."""
+    k, c, _ = L.shape
+    eye = jnp.broadcast_to(jnp.eye(c, dtype=L.dtype), (k, c, c))
+    M = -L
+    acc = eye + M
+    span = 2
+    while span < c:
+        M = jnp.einsum("kij,kjl->kil", M, M)
+        acc = acc + jnp.einsum("kij,kjl->kil", acc, M)
+        span *= 2
+    return acc
 
 
 def _diag_factor(D, signs, eps, delta):
@@ -59,18 +84,19 @@ def _diag_factor(D, signs, eps, delta):
         dj = jnp.where(dj * sg < eps, delta * sg, dj)
         below = rows[None, :] > t
         l = jnp.where(below, colj / dj[:, None], 0.0)
-        # rank-1 update of later columns: D[:, i, t'] -= l_i · colj[t']
+        # rank-1 update of later columns: D[:, i, t'] -= l_i · colj[t'];
+        # the finished L column rides the scan outputs instead of being
+        # blended back into the carry (two fewer [k,b,b] ops per step of
+        # the only sequential chain in the engine)
         rowvals = jnp.where(below, colj, 0.0)
         D = D - l[:, :, None] * rowvals[:, None, :]
-        onehot = (rows == t).astype(D.dtype)[None, None, :]
-        D = D * (1.0 - onehot) + l[:, :, None] * onehot
-        return D, dj
+        return D, (l, dj)
 
-    D, d = lax.scan(body, D, jnp.arange(b))
-    return D, jnp.moveaxis(d, 0, 1)                   # d: [k, b]
+    _, (ls, d) = lax.scan(body, D, jnp.arange(b))
+    return jnp.moveaxis(ls, 0, 2), jnp.moveaxis(d, 0, 1)  # L: [k,b,b], d: [k,b]
 
 
-def _panel_factor(panel, j0, signs, eps, delta):
+def _panel_factor(panel, j0, signs, eps, delta, diag_fn=_diag_factor):
     """Factor pivot columns [j0, j0+w) of a front batch in place.
 
     ``panel``: [k, r, w] — full rows of the w pivot columns; pivot row of
@@ -89,14 +115,14 @@ def _panel_factor(panel, j0, signs, eps, delta):
         s1 = min(s0 + _BLOCK, w)
         b = s1 - s0
         g0, g1 = j0 + s0, j0 + s1
-        Ld, d = _diag_factor(
+        Ld, d = diag_fn(
             panel[:, g0:g1, s0:s1], signs[:, s0:s1], eps, delta
         )
         below = panel[:, g1:, s0:s1]                  # [k, r-g1, b]
-        X = lax.linalg.triangular_solve(
-            Ld, below, left_side=False, lower=True,
-            transpose_a=True, unit_diagonal=True,
-        )
+        # L21 = below·Ld⁻ᵀ·D⁻¹ via the explicit Neumann inverse (one
+        # batched matmul) instead of a sequential triangular solve
+        Ldinv = _unit_lower_inverse(Ld)
+        X = jnp.einsum("kib,kcb->kic", below, Ldinv)
         L21 = X / d[:, None, :]
         Wcol = jnp.concatenate(
             [jnp.zeros((k, g0, b), panel.dtype), Ld, L21], axis=1
@@ -112,7 +138,7 @@ def _panel_factor(panel, j0, signs, eps, delta):
     return panel, jnp.concatenate(d_parts, axis=1)
 
 
-def partial_ldl(F, c, signs, eps, delta):
+def partial_ldl(F, c, signs, eps, delta, diag_fn=_diag_factor):
     """Partial LDLᵀ of a batch of fronts.
 
     ``F``: [k, r, r] with valid data in the lower triangle; the first
@@ -126,7 +152,8 @@ def partial_ldl(F, c, signs, eps, delta):
         w = min(_PANEL, c - j0)
         j1 = j0 + w
         panel = F[:, :, j0:j1]
-        panel, d = _panel_factor(panel, j0, signs[:, j0:j1], eps, delta)
+        panel, d = _panel_factor(panel, j0, signs[:, j0:j1], eps, delta,
+                                 diag_fn=diag_fn)
         F = F.at[:, :, j0:j1].set(panel)
         d_parts.append(d)
         if j1 < r:
@@ -147,15 +174,31 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False):
     nonzero vector of K (original frame, the CSC order that was handed to
     :func:`mf_symbolic.analyze`).
 
-    With ``use_pallas`` (TPU f32), buckets within the Pallas gate run the
-    fused :func:`pallas_front.front_partial_ldl` kernel — one dispatch per
-    bucket instead of the ~5-op-per-panel XLA chain.
+    ``use_pallas`` selects the kernel mode: ``"diag"`` (TPU f32 default)
+    runs each diagonal block's sequential pivot chain as one
+    :func:`pallas_diag.diag_ldl` dispatch (the chain is pure VPU — no
+    MXU contraction-order divergence); ``"front"`` / ``True`` runs the
+    fused whole-front kernel :func:`pallas_front.front_partial_ldl`
+    (opt-in: its inter-block MXU dots round differently from the XLA
+    trisolve path and the error amplifies through deep schedules —
+    STATUS.md); anything falsy / ``"none"`` keeps pure XLA.
 
     Returns (factors, ok); factors is a pytree consumed by
     :func:`mf_solve`.
     """
-    if use_pallas:
+    mode = {True: "front", False: "none", None: "none"}.get(
+        use_pallas, use_pallas
+    )
+    if mode == "front":
         from . import pallas_front
+    diag_fn = _diag_factor
+    if mode == "diag":
+        from . import pallas_diag
+
+        def diag_fn(D, s, e, d):
+            if not pallas_diag.supported(D.shape[1], D.dtype):
+                return _diag_factor(D, s, e, d)
+            return pallas_diag.diag_ldl(D, s, float(e), float(d))
     dtype = Kvals.dtype
     # kkt/sparse.build composes the fill-reducing permutation into its
     # assembly maps and drops "kperm_map"; standalone plans (tests, direct
@@ -179,31 +222,45 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False):
         for bi, B in enumerate(lvl):
             rp = B.r_pad
             flat = lax.dynamic_slice(finit, (B.f_off,), (B.k * rp * rp,))
-            for (sl, sb, akey) in B.asm:
-                U = ustore[(sl, sb)].reshape(-1)
-                flat = flat.at[arrays[akey + ":dst"]].add(
-                    U[arrays[akey + ":src"]], indices_are_sorted=True,
-                )
             F = flat.reshape(B.k, rp, rp)
+            for (sl, sb, akey) in B.asm:
+                # extend-add as P·U·Pᵀ (see mf_symbolic): separable
+                # destination indices turn the per-element scatter into
+                # two batched MXU matmuls — exact, since each output cell
+                # receives at most one U entry per child (0/1 P), and
+                # overlapping children still sum in the segment-sum.
+                U = jnp.take(ustore[(sl, sb)], arrays[akey + ":clanes"],
+                             axis=0)                  # [kc, cup, cup]
+                rowpos = arrays[akey + ":rowpos"]     # [kc, cup]
+                P = (
+                    rowpos[:, None, :]
+                    == jnp.arange(rp, dtype=rowpos.dtype)[None, :, None]
+                ).astype(dtype)                       # [kc, rp, cup]
+                upd = jnp.einsum(
+                    "krj,ksj->krs", jnp.einsum("kri,kij->krj", P, U), P
+                )
+                F = F + jax.ops.segment_sum(
+                    upd, arrays[akey + ":planes"], num_segments=B.k,
+                    indices_are_sorted=True,
+                )
             signs = jnp.asarray(arrays[B.key + ":signs"], dtype)
-            if use_pallas and pallas_front.supported(B.c_pad, rp, dtype):
+            if mode == "front" and pallas_front.supported(B.c_pad, rp, dtype):
                 Fo, d = pallas_front.front_partial_ldl(
                     F, signs, B.c_pad, float(eps), float(delta)
                 )
                 Lc, U = Fo[:, :, : B.c_pad], Fo[:, B.c_pad :, B.c_pad :]
                 okb = jnp.all(jnp.isfinite(Fo))
             else:
-                Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta)
-            ustore[(li, bi)] = U
+                Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta,
+                                            diag_fn=diag_fn)
+            # store full-symmetric U (only its lower triangle is valid —
+            # fronts initialize tril-only) so the P·U·Pᵀ extend-add sees
+            # both triangles
+            Ut = jnp.tril(U)
+            ustore[(li, bi)] = Ut + jnp.swapaxes(jnp.tril(U, -1), 1, 2)
             dvec = lax.dynamic_update_slice(dvec, d.reshape(-1), (B.w_off,))
             if B.c_pad <= _INV_MAX_C:
-                eye = jnp.broadcast_to(
-                    jnp.eye(B.c_pad, dtype=dtype), (B.k, B.c_pad, B.c_pad)
-                )
-                Linv = lax.linalg.triangular_solve(
-                    Lc[:, : B.c_pad, :], eye, left_side=True, lower=True,
-                    unit_diagonal=True,
-                )
+                Linv = _unit_lower_inverse(Lc[:, : B.c_pad, :])
             else:
                 Linv = None
             lvl_out.append((Lc, d, Linv))

@@ -607,11 +607,20 @@ class DefaultSolver:
         # landed, so it stays opt-in.
         import os as _os
 
-        self._use_pallas = (
-            _is_tpu_platform(device)
-            and self._dtype == "float32"
-            and bool(_os.environ.get("CT_PALLAS_FRONT"))
-        )
+        if _is_tpu_platform(device) and self._dtype == "float32":
+            if _os.environ.get("CT_PALLAS_FRONT"):
+                self._use_pallas = "front"
+            elif _os.environ.get("CT_PALLAS_DIAG"):
+                # pivot chains as Pallas dispatches (kkt/pallas_diag.py):
+                # bit-exact vs the XLA scan on hardware but measured
+                # speed-neutral (15.0 vs 14.6 ms factor at N=60k) and
+                # Mosaic compiles cost minutes through the tunnel — so
+                # opt-in, kept for schedules with much longer chains
+                self._use_pallas = "diag"
+            else:
+                self._use_pallas = "none"
+        else:
+            self._use_pallas = "none"
 
         with self.timers.scope("kktinit"):
             self._skkt = kkt_sparse.build(
