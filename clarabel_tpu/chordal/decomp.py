@@ -66,8 +66,11 @@ class ChordalInfo:
 
         merge_method = settings.chordal_decomposition_merge_method
 
-        # aggregate sparsity across the rows of [A; b]
-        nz_mask = (np.abs(A).sum(axis=1) != 0) | (b != 0)
+        # aggregate sparsity across the rows of [A; b]; A may be a scipy
+        # sparse matrix (the sparse KKT path hands its CSR straight in —
+        # nothing is densified)
+        rowsum = np.asarray(np.abs(A).sum(axis=1)).ravel()
+        nz_mask = (rowsum != 0) | (b != 0)
 
         row = 0
         for coneidx, cone in enumerate(cones):
@@ -107,26 +110,43 @@ class ChordalInfo:
 
         Standard transform:  A_new = [[A, H], [0, -I]],  b_new = [b; 0],
         with the first m rows becoming equality constraints and each clique
-        contributing a small PSD cone on the added variables.
+        contributing a small PSD cone on the added variables.  Accepts and
+        returns scipy-sparse matrices when given them (the sparse KKT path
+        never densifies).
         """
-        self.cone_maps = None
-        H, cones_new = self._find_standard_H_and_cones()
-        nH = H.shape[1]
-        n, m = A.shape[1], A.shape[0]
+        import scipy.sparse as sps
 
-        P_new = np.zeros((n + nH, n + nH))
-        P_new[:n, :n] = P
+        self.cone_maps = None
+        sparse = sps.issparse(A)
+        H, cones_new = self._find_standard_H_and_cones(sparse=sparse)
+        nH = H.shape[1]
+        n = A.shape[1]
+
         q_new = np.concatenate([q, np.zeros(nH)])
-        A_new = np.block(
-            [[A, H], [np.zeros((nH, n)), -np.eye(nH)]]
-        )
         b_new = np.concatenate([b, np.zeros(nH)])
+        if sparse:
+            P_new = sps.block_diag(
+                [sps.csc_matrix(P), sps.csc_matrix((nH, nH))], format="csc"
+            )
+            A_new = sps.bmat(
+                [[sps.csr_matrix(A), H], [None, -sps.eye(nH, format="csr")]],
+                format="csr",
+            )
+        else:
+            P_new = np.zeros((n + nH, n + nH))
+            P_new[:n, :n] = P
+            A_new = np.block(
+                [[A, np.asarray(H.todense())],
+                 [np.zeros((nH, n)), -np.eye(nH)]]
+            )
 
         self.H = H
         return P_new, q_new, A_new, b_new, tuple(cones_new)
 
-    def _find_standard_H_and_cones(self):
-        """reference: augment_standard.rs:63-121"""
+    def _find_standard_H_and_cones(self, sparse=False):
+        """reference: augment_standard.rs:63-121.  H is returned as a
+        scipy-sparse one-hot column matrix (it has exactly one nonzero per
+        column); the dense caller densifies it at assembly."""
         cones = self.init_cones
         n0, m0 = self.init_dims
 
@@ -155,8 +175,13 @@ class ChordalInfo:
                 cones_new.append(cone)
             row += cone.nvars
 
-        H = np.zeros((m0, len(H_rows)))
-        H[np.asarray(H_rows, np.int64), np.arange(len(H_rows))] = 1.0
+        import scipy.sparse as sps
+
+        nH = len(H_rows)
+        H = sps.csr_matrix(
+            (np.ones(nH), (np.asarray(H_rows, np.int64), np.arange(nH))),
+            shape=(m0, nH),
+        )
         return H, cones_new
 
     # ------------------------------------------------------------------
@@ -169,11 +194,23 @@ class ChordalInfo:
     # ------------------------------------------------------------------
 
     def _decomp_augment_compact(self, P, q, A, b):
+        """Both input kinds supported: dense ndarrays or scipy sparse.
+
+        The transform is collected as index lists — copied original rows
+        and ±1 overlap entries — then assembled either densely or as
+        ``S @ A`` with a one-hot row-selection matrix S plus a COO overlap
+        block (the CSC-surgery-free analog of augment_compact.rs)."""
+        import scipy.sparse as sps
+
+        sparse = sps.issparse(A)
         n0, m0 = self.init_dims
         dim_new, n_overlaps = self._decomposed_dim_and_overlaps()
 
-        A_new = np.zeros((dim_new, n0 + n_overlaps))
-        b_new = np.zeros(dim_new)
+        copy_dst: List[int] = []   # new row index of each copied row
+        copy_src: List[int] = []   # original row it copies
+        ov_rows: List[int] = []    # overlap ±1 entries
+        ov_cols: List[int] = []
+        ov_vals: List[float] = []
         cones_new: List[ConeSpec] = []
         cone_maps: List[tuple] = []
 
@@ -213,15 +250,18 @@ class ChordalInfo:
                         nr = row_ptr + counter
                         if is_overlap:
                             # +1 here, -1 in the parent's matching entry
-                            A_new[nr, ucol] = 1.0
+                            ov_rows.append(nr)
+                            ov_cols.append(ucol)
+                            ov_vals.append(1.0)
                             ir = parent_clique.index(gi)
                             jr = parent_clique.index(gj)
-                            A_new[parent_start + _tri_index(ir, jr), ucol] = -1.0
+                            ov_rows.append(parent_start + _tri_index(ir, jr))
+                            ov_cols.append(ucol)
+                            ov_vals.append(-1.0)
                             ucol += 1
                         else:
-                            k = _tri_index(gi, gj)
-                            A_new[nr, :n0] = A[row + k, :]
-                            b_new[nr] = b[row + k]
+                            copy_dst.append(nr)
+                            copy_src.append(row + _tri_index(gi, gj))
 
                     nblk = t.get_nblk(i)
                     cones_new.append(api.PSDTriangleConeT(nblk))
@@ -230,16 +270,40 @@ class ChordalInfo:
                 pat_idx += 1
             else:
                 w = cone.nvars
-                A_new[row_ptr : row_ptr + w, :n0] = A[row : row + w, :]
-                b_new[row_ptr : row_ptr + w] = b[row : row + w]
+                copy_dst.extend(range(row_ptr, row_ptr + w))
+                copy_src.extend(range(row, row + w))
                 cones_new.append(cone)
                 cone_maps.append((coneidx, None))
                 row_ptr += w
             row += cone.nvars
 
         nadd = n_overlaps
-        P_new = np.zeros((n0 + nadd, n0 + nadd))
-        P_new[:n0, :n0] = P
+        dst = np.asarray(copy_dst, np.int64)
+        src = np.asarray(copy_src, np.int64)
+        b_new = np.zeros(dim_new)
+        b_new[dst] = b[src]
+        if sparse:
+            S = sps.csr_matrix(
+                (np.ones(dst.size), (dst, src)), shape=(dim_new, m0)
+            )
+            A_left = (S @ sps.csr_matrix(A)).tocsr()
+            A_right = sps.csr_matrix(
+                (np.asarray(ov_vals),
+                 (np.asarray(ov_rows, np.int64),
+                  np.asarray(ov_cols, np.int64) - n0)),
+                shape=(dim_new, nadd),
+            )
+            A_new = sps.hstack([A_left, A_right], format="csr")
+            P_new = sps.block_diag(
+                [sps.csc_matrix(P), sps.csc_matrix((nadd, nadd))],
+                format="csc",
+            )
+        else:
+            A_new = np.zeros((dim_new, n0 + nadd))
+            A_new[dst, :n0] = A[src, :]
+            A_new[ov_rows, ov_cols] = ov_vals
+            P_new = np.zeros((n0 + nadd, n0 + nadd))
+            P_new[:n0, :n0] = P
         q_new = np.concatenate([q, np.zeros(nadd)])
 
         self.H = None
@@ -276,11 +340,11 @@ class ChordalInfo:
         if self.cone_maps is not None:
             z_new, s_new = self._reverse_compact(z, s)
         else:
-            s_new = self.H @ s[m:]
-            z_new = self.H @ z[m:]
+            s_new = np.asarray(self.H @ s[m:]).ravel()
+            z_new = np.asarray(self.H @ z[m:]).ravel()
 
             # average the overlapping dual entries (reverse_standard.rs:30-39)
-            noverlaps = self.H.sum(axis=1)
+            noverlaps = np.asarray(self.H.sum(axis=1)).ravel()
             mask = noverlaps > 1
             z_new[mask] /= noverlaps[mask]
 

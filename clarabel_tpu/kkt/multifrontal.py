@@ -44,18 +44,27 @@ _BLOCK = 32
 _INV_MAX_C = 256
 
 
-def _unit_lower_inverse(L):
-    """Exact inverse of a batch of unit-lower matrices stored as their
+def _unit_lower_inverse(L, stable=False):
+    """Inverse of a batch of unit-lower matrices stored as their
     strictly-lower part N (zeros at and above the diagonal).
 
-    N is nilpotent with index ≤ c, so (I+N)⁻¹ = Σ (−N)ʲ factors exactly
-    into the Neumann product (I+M)(I+M²)(I+M⁴)··· with M = −N —
-    ⌈log₂ c⌉ rounds of batched MXU matmuls.  XLA's ``triangular_solve``
-    lowers to a sequential substitution loop on TPU (latency-bound at
-    multifrontal block sizes); this is the same inverse as a handful of
-    parallel matmuls."""
+    Default: N is nilpotent with index ≤ c, so (I+N)⁻¹ = Σ (−N)ʲ factors
+    exactly into the Neumann product (I+M)(I+M²)(I+M⁴)··· with M = −N —
+    ⌈log₂ c⌉ rounds of batched MXU matmuls where XLA's
+    ``triangular_solve`` runs a sequential substitution loop
+    (latency-bound at multifrontal block sizes).
+
+    ``stable=True`` keeps the substitution form: on ill-conditioned
+    nonsymmetric-cone (exp/pow) Hessian blocks the Neumann product's
+    accumulated rounding costs a digit and f32 solves regress from
+    Solved to AlmostSolved (measured); symmetric-cone NT scalings have
+    bounded conditioning and take the fast form."""
     k, c, _ = L.shape
     eye = jnp.broadcast_to(jnp.eye(c, dtype=L.dtype), (k, c, c))
+    if stable:
+        return lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True, unit_diagonal=True
+        )
     M = -L
     acc = eye + M
     span = 2
@@ -119,10 +128,14 @@ def _panel_factor(panel, j0, signs, eps, delta, diag_fn=_diag_factor):
             panel[:, g0:g1, s0:s1], signs[:, s0:s1], eps, delta
         )
         below = panel[:, g1:, s0:s1]                  # [k, r-g1, b]
-        # L21 = below·Ld⁻ᵀ·D⁻¹ via the explicit Neumann inverse (one
-        # batched matmul) instead of a sequential triangular solve
-        Ldinv = _unit_lower_inverse(Ld)
-        X = jnp.einsum("kib,kcb->kic", below, Ldinv)
+        # L21 stays a real triangular solve: applying the explicit
+        # Neumann inverse here costs a digit on ill-conditioned exp/pow
+        # Hessian blocks (f32 entropy/sum-of-powers tests regress from
+        # Solved to AlmostSolved); substitution is the stable form.
+        X = lax.linalg.triangular_solve(
+            Ld, below, left_side=False, lower=True,
+            transpose_a=True, unit_diagonal=True,
+        )
         L21 = X / d[:, None, :]
         Wcol = jnp.concatenate(
             [jnp.zeros((k, g0, b), panel.dtype), Ld, L21], axis=1
@@ -169,7 +182,8 @@ def partial_ldl(F, c, signs, eps, delta, diag_fn=_diag_factor):
     return Lc, d, U, ok
 
 
-def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False):
+def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
+              stable_inverse=False):
     """Numeric factorization.  ``Kvals`` is the canonical lower-triangle
     nonzero vector of K (original frame, the CSC order that was handed to
     :func:`mf_symbolic.analyze`).
@@ -260,7 +274,9 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False):
             ustore[(li, bi)] = Ut + jnp.swapaxes(jnp.tril(U, -1), 1, 2)
             dvec = lax.dynamic_update_slice(dvec, d.reshape(-1), (B.w_off,))
             if B.c_pad <= _INV_MAX_C:
-                Linv = _unit_lower_inverse(Lc[:, : B.c_pad, :])
+                Linv = _unit_lower_inverse(
+                    Lc[:, : B.c_pad, :], stable=stable_inverse
+                )
             else:
                 Linv = None
             lvl_out.append((Lc, d, Linv))

@@ -61,6 +61,10 @@ class SparseKKT:
     np_arrays: Dict[str, np.ndarray]
     soc_expanded: tuple = ()
     genpow_expanded: bool = False
+    #: layout carries nonsymmetric (exp/pow/genpow) cones: their Hessian
+    #: blocks are ill-conditioned near the boundary, so the factor keeps
+    #: substitution-form L11 inverses (see multifrontal._unit_lower_inverse)
+    nonsym: bool = False
     #: static diagonal offsets of the DIA matvec layout (empty = fallback)
     dia_offsets: tuple = ()
 
@@ -224,6 +228,7 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         plan=plan, n=n, m=m, N=N, nnz=nnz, np_arrays=np_arrays,
         soc_expanded=soc_expanded, genpow_expanded=genpow_expanded,
         dia_offsets=dia_offsets,
+        nonsym=bool(layout.num_exp or layout.num_pow or layout.num_genpow),
     )
 
 
@@ -349,7 +354,8 @@ def factor(ctx: SparseKKT, data, K_reg_vals, settings, use_pallas=False):
     else:
         eps, delta = -float("inf"), 1.0
     return multifrontal.mf_factor(
-        ctx.plan, data, K_reg_vals, eps, delta, use_pallas=use_pallas
+        ctx.plan, data, K_reg_vals, eps, delta, use_pallas=use_pallas,
+        stable_inverse=ctx.nonsym,
     )
 
 

@@ -146,3 +146,34 @@ def test_chordal_banded_sdp():
         assert sol.status == ct.SolverStatus.Solved
         assert abs(sol.obj_val - ref.obj_val) <= 1e-6
         assert np.linalg.norm(sol.x - ref.x) <= 1e-5
+
+
+def test_decomp_augment_sparse_matches_dense():
+    """The chordal transform accepts scipy-sparse (P, A) without
+    densifying (the sparse KKT path hands its CSR straight in); both
+    transforms must produce exactly the dense path's augmented problem."""
+    import scipy.sparse as sp
+
+    from clarabel_tpu.chordal import try_chordal_info
+    from clarabel_tpu.cones.api import collapse_cones
+
+    P, q, A, b, cones = sdp_chordal_data()
+    cones_int = collapse_cones(tuple(cones))
+
+    for compact in (False, True):
+        s = ct.DefaultSettings(
+            verbose=False, chordal_decomposition_compact=compact
+        )
+        info_d = try_chordal_info(A, b, cones_int, s)
+        info_s = try_chordal_info(sp.csr_matrix(A), b, cones_int, s)
+        assert info_d is not None and info_s is not None
+        Pd, qd, Ad, bd, cd = info_d.decomp_augment(P, q, A, b, s)
+        Ps, qs, As, bs, cs = info_s.decomp_augment(
+            sp.csc_matrix(P), q, sp.csr_matrix(A), b, s
+        )
+        assert sp.issparse(Ps) and sp.issparse(As)
+        np.testing.assert_array_equal(Pd, np.asarray(Ps.todense()))
+        np.testing.assert_array_equal(Ad, np.asarray(As.todense()))
+        np.testing.assert_array_equal(bd, bs)
+        np.testing.assert_array_equal(qd, qs)
+        assert cd == cs
