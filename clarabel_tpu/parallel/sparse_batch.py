@@ -179,10 +179,19 @@ class SparseBatchSolver:
             sparse_ctx=self._skkt,
         )
         # batch the numeric leaves only: COO values, q, b; structure
-        # (rows/cols, index-map pytree) is shared across lanes
-        coo_axes = lambda shape: COOMat(0, None, None, shape)
-        in_axes = (coo_axes((n, n)), 0, coo_axes((self.m, n)), 0, None)
-        batched = jax.vmap(core, in_axes=in_axes)
+        # (rows/cols, dia maps, index-map pytree) is shared across lanes.
+        # DIA metadata rides along so per-lane residual matvecs vmap into
+        # batched static shifts (predia runs per lane inside the core).
+        from ..algebra.coo import dia_metadata
+
+        P_dia = dia_metadata(sym_rows, sym_cols, (n, n))
+        A_dia = dia_metadata(A_perm.row, A_perm.col, (self.m, n))
+
+        def coo_axes(M):
+            # axes pytree matching M's structure: batch only the values
+            leaves, treedef = jax.tree_util.tree_flatten(M)
+            axes = [0 if leaf is M.data else None for leaf in leaves]
+            return jax.tree_util.tree_unflatten(treedef, axes)
 
         self._warm_fn = None
         self._core_args = dict(
@@ -190,7 +199,6 @@ class SparseBatchSolver:
             p_is_zero=self._p_is_zero, dtype_name=self._dtype,
             sparse_ctx=self._skkt,
         )
-        self._in_axes = in_axes
 
         if mesh is not None:
             axis = mesh.axis_names[0]
@@ -198,22 +206,27 @@ class SparseBatchSolver:
             rep = NamedSharding(mesh, PSpec())
             put_b = lambda v: jax.device_put(np.asarray(v, self._dtype), bsh)
             put_r = lambda v: jax.device_put(np.asarray(v), rep)
-            self._solve_fn = jax.jit(batched)
             target = None
         else:
             put_b = lambda v: jax.device_put(np.asarray(v, self._dtype), device)
             put_r = lambda v: jax.device_put(np.asarray(v), device)
-            self._solve_fn = jax.jit(batched)
             target = device
 
         iput = lambda v: put_r(np.asarray(v, np.int32))
         self._P = COOMat(
-            put_b(P_sym_data), iput(sym_rows), iput(sym_cols), (n, n)
+            put_b(P_sym_data), iput(sym_rows), iput(sym_cols), (n, n),
+            dia_pos=None if P_dia[1] is None else put_r(P_dia[1]),
+            dia_offsets=P_dia[0],
         )
         self._A = COOMat(
             put_b(A_perm_data), iput(A_perm.row), iput(A_perm.col),
             (self.m, n),
+            dia_pos=None if A_dia[1] is None else put_r(A_dia[1]),
+            dia_offsets=A_dia[0],
         )
+        in_axes = (coo_axes(self._P), 0, coo_axes(self._A), 0, None)
+        self._in_axes = in_axes
+        self._solve_fn = jax.jit(jax.vmap(core, in_axes=in_axes))
         self._q = put_b(q)
         self._b = put_b(b)
         self._skkt_data = self._skkt.device_data(self._dtype, target)
