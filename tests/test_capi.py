@@ -180,3 +180,32 @@ def test_capi_standalone_embedding():
     out = subprocess.run([exe], capture_output=True, timeout=600, env=env)
     assert out.returncode == 0, out.stderr.decode()[-2000:]
     assert b"status=1 obj=1.88" in out.stdout
+
+
+def test_capi_genpow_alpha_marshalling(lib):
+    """GenPow cones cross the C ABI with an alpha vector (the tagged-union
+    vec field, reference src/julia/types.rs ConeDataJLRS) — the same
+    program as the sparse-path genpow case, solved through C."""
+    P = np.zeros((4, 4))
+    q = np.array([0.0, 0.0, -1.0, 0.0])
+    A = np.vstack([-np.eye(4),
+                   [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 0, 1.0]]])
+    b = np.array([0, 0, 0, 0, 1.0, 1.0, 0.5])
+    Pp, Pi, Px = _csc(np.triu(P))
+    Ap, Ai, Ax = _csc(A)
+    alpha = np.array([0.5, 0.5])
+    cones = (_Cone * 2)(
+        _Cone(5, 2, 0.0, _f64p(alpha), 2),   # GenPow(alpha=[.5,.5], dim2=2)
+        _Cone(0, 3, 0.0, None, 0),           # Zero(3)
+    )
+    h = lib.clarabel_new(4, 7, _i64p(Pp), _i64p(Pi), _f64p(Px), _f64p(q),
+                         _i64p(Ap), _i64p(Ai), _f64p(Ax), _f64p(b),
+                         cones, 2, b'{"verbose": false}')
+    assert h, lib.clarabel_last_error().decode()
+    x = np.zeros(4)
+    info = _Info()
+    status = lib.clarabel_solve(h, _f64p(x), None, None, ctypes.byref(info))
+    assert status == 1
+    # max x3 s.t. (1,1,(x3,0.5)) in GenPow(.5,.5): x3 = sqrt(1-0.25)
+    assert abs(info.obj_val + np.sqrt(0.75)) < 1e-6
+    lib.clarabel_free(h)
