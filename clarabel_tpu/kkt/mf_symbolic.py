@@ -330,6 +330,20 @@ def _split_wide(nodes: List[_SNode], max_cols: int) -> None:
             cur, cur_idx = new, ni
 
 
+def _merge_threshold(c_m: int, relax_frac: float) -> float:
+    """Acceptable explicit-zero fraction for a merged panel of ``c_m``
+    pivot columns.  TPU-tuned: sequential tree depth costs far more than
+    the extra (MXU-cheap) flops of explicit zeros, so merge much more
+    readily than CPU-tuned (CHOLMOD) settings would."""
+    if c_m <= 32:
+        return 1.0
+    if c_m <= 128:
+        return 0.8
+    if c_m <= 256:
+        return 0.5
+    return relax_frac
+
+
 def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
     """Relaxed amalgamation (CHOLMOD-style): merge a child supernode into
     its parent when the cumulative explicit-zero fraction of the merged
@@ -345,16 +359,7 @@ def _amalgamate(nodes: List[_SNode], max_cols: int, relax_frac: float) -> None:
     }
 
     def threshold(c_m: int) -> float:
-        # TPU-tuned: sequential tree depth costs far more than the extra
-        # (MXU-cheap) flops of explicit zeros, so merge much more readily
-        # than CPU-tuned (CHOLMOD) settings would
-        if c_m <= 32:
-            return 1.0
-        if c_m <= 128:
-            return 0.8
-        if c_m <= 256:
-            return 0.5
-        return relax_frac
+        return _merge_threshold(c_m, relax_frac)
 
     for s in _postorder(nodes):
         nd = nodes[s]
