@@ -830,7 +830,9 @@ def analyze(
                 bucket_init[key] = (z, z)
             asm_list = []
             for (sl, sb), pairs in sorted(asm_groups.items()):
-                pairs.sort(key=lambda p: p[1])  # sorted parent lanes
+                # deterministic across the native/vectorized and pure-
+                # Python pipelines: ties on parent lane break by child lane
+                pairs.sort(key=lambda p: (p[1], p[0]))
                 akey = f"{key}:asm{sl}_{sb}"
                 arrays[akey + ":clanes"] = np.asarray(
                     [p[0] for p in pairs], np.int32

@@ -42,10 +42,12 @@ SOC_NO_EXPANSION_MAX_SIZE = 4
 #: f32 keeps small cones dense instead: the expansion's ±1 extension
 #: pivots and η²-scaled extension rows floor the primal residual near
 #: 1e-4 in f32 (measured; STATUS.md "Known f32 tier behavior"), while a
-#: dense d×d Hs block costs only d(d+1)/2 nonzeros — cheap for d ≤ 64
-#: and numerically equivalent to the dense backends' path.
-SOC_NO_EXPANSION_MAX_SIZE_F32 = 64
-GENPOW_NO_EXPANSION_MAX_SIZE_F32 = 64
+#: dense d×d Hs block costs only d(d+1)/2 nonzeros — cheap up to a few
+#: hundred and numerically equivalent to the dense backends' path.
+#: Beyond the threshold the rank-2/3 expansion applies and such problems
+#: may land at the AlmostSolved (1e-4) tier in f32.
+SOC_NO_EXPANSION_MAX_SIZE_F32 = 256
+GENPOW_NO_EXPANSION_MAX_SIZE_F32 = 256
 
 
 @dataclasses.dataclass

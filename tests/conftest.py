@@ -21,3 +21,18 @@ jax.config.update("jax_enable_x64", True)
 # this environment sits behind a remote tunnel and would turn each eager op
 # into a network round trip.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU's compiler segfaults nondeterministically once a process
+    has accumulated ~150 compiled programs (observed twice, always while
+    compiling the large vmapped sparse-batch cores late in the suite;
+    each crashing program compiles fine in a fresh process or after a
+    cache clear).  Dropping compiled executables between modules keeps
+    the full suite inside the safe envelope at a small recompile cost."""
+    jax.clear_caches()
+    yield

@@ -290,7 +290,7 @@ def test_f32_small_expansion_cones_stay_dense_and_solve():
     assert abs(r2.obj_val - r2_64.obj_val) < 1e-4
 
     # a large SOC must still take the rank-2 expansion in f32
-    d3 = 200
+    d3 = 300
     P3 = sp.eye(d3, format="csc")
     q3 = rng.standard_normal(d3)
     A3 = sp.vstack([sp.csc_matrix(np.ones((1, d3))), -sp.eye(d3)],
