@@ -230,6 +230,7 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
     )
     out = []
     ustore = {}
+    pstore = {}
     ok = jnp.asarray(True)
     for li, lvl in enumerate(plan.levels):
         lvl_out = []
@@ -250,6 +251,7 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
                     rowpos[:, None, :]
                     == jnp.arange(rp, dtype=rowpos.dtype)[None, :, None]
                 ).astype(dtype)                       # [kc, rp, cup]
+                pstore[akey] = P  # reused by every mf_solve on this factor
                 upd = jnp.einsum(
                     "krj,ksj->krs", jnp.einsum("kri,kij->krj", P, U), P
                 )
@@ -282,7 +284,7 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
             lvl_out.append((Lc, d, Linv))
             ok = ok & okb
         out.append(lvl_out)
-    return {"levels": out, "dvec": dvec}, ok
+    return {"levels": out, "dvec": dvec, "P": pstore}, ok
 
 
 def mf_solve(plan, arrays, factors, rhs):
@@ -292,8 +294,13 @@ def mf_solve(plan, arrays, factors, rhs):
     the constant and affine solves this way).
 
     Works in the bucket-contiguous solve workspace (see mf_symbolic):
-    each bucket's pivot block is one dynamic slice of ``x``; only the
-    cross-level update-row contributions gather/scatter.
+    each bucket's pivot block is one dynamic slice of ``x``.  Cross-level
+    coupling propagates THROUGH fronts level by level with the factor's
+    cached 0/1 selection matrices (P einsum + lane segment-sum) instead
+    of per-element scatters/gathers into ancestor slots: update vectors
+    extend-add parent-ward on the forward sweep, final values push
+    child-ward on the backward sweep — the classic multifrontal solve,
+    with the same associativity (exact selection, reordered sums only).
     """
     dtype = rhs.dtype
     single = rhs.ndim == 1
@@ -312,44 +319,79 @@ def mf_solve(plan, arrays, factors, rhs):
             x, v.reshape(B.k * B.c_pad, r), (B.w_off, 0)
         )
 
+    pstore = factors["P"]
+
+    # forward sweep: y = L11⁻¹ (b - incoming); update vector
+    # u = L21 y + incoming-below-pivot extends to the parent front
+    ustore = {}
     for li, lvl in enumerate(plan.levels):
         for bi, B in enumerate(lvl):
             Lc, _d, Linv = factors["levels"][li][bi]
-            L11 = Lc[:, : B.c_pad, :]
+            v = blk(x, B)
+            inc_below = None
+            for (sl, sb, akey) in B.asm:
+                u_c = jnp.take(ustore[(sl, sb)], arrays[akey + ":clanes"],
+                               axis=0)            # [kc, cup, r]
+                inc = jax.ops.segment_sum(
+                    jnp.einsum("kri,kis->krs", pstore[akey], u_c),
+                    arrays[akey + ":planes"], num_segments=B.k,
+                    indices_are_sorted=True,
+                )                                  # [k, rp, r]
+                v = v - inc[:, : B.c_pad]
+                ib = inc[:, B.c_pad :]
+                inc_below = ib if inc_below is None else inc_below + ib
             if Linv is not None:
-                y = jnp.einsum("kij,kjr->kir", Linv, blk(x, B))
+                y = jnp.einsum("kij,kjr->kir", Linv, v)
             else:
                 y = lax.linalg.triangular_solve(
-                    L11, blk(x, B), left_side=True, lower=True,
+                    Lc[:, : B.c_pad, :], v, left_side=True, lower=True,
                     unit_diagonal=True,
                 )
             x = put(x, B, y)
             if B.u_pad:
-                L21 = Lc[:, B.c_pad :, :]
-                x = x.at[arrays[B.key + ":rows_w"]].add(
-                    -jnp.einsum("kuc,kcr->kur", L21, y)
-                )
+                u = jnp.einsum("kuc,kcr->kur", Lc[:, B.c_pad :, :], y)
+                if inc_below is not None:
+                    u = u + inc_below
+                ustore[(li, bi)] = u
 
     x = x / factors["dvec"][:, None]
 
+    # backward sweep: parents push their full front value vector
+    # w = [x_pivot ; x_rows] down; children read their row values from it
+    rowvals = {}
     for li in range(len(plan.levels) - 1, -1, -1):
         for bi, B in enumerate(plan.levels[li]):
             Lc, _d, Linv = factors["levels"][li][bi]
-            L11 = Lc[:, : B.c_pad, :]
             v = blk(x, B)
-            if B.u_pad:
-                L21 = Lc[:, B.c_pad :, :]
-                v = v - jnp.einsum(
-                    "kuc,kur->kcr", L21, x[arrays[B.key + ":rows_w"]]
-                )
+            rv = rowvals.get((li, bi))
+            if B.u_pad and rv is not None:
+                v = v - jnp.einsum("kuc,kur->kcr", Lc[:, B.c_pad :, :], rv)
             if Linv is not None:
                 xc = jnp.einsum("kji,kjr->kir", Linv, v)
             else:
                 xc = lax.linalg.triangular_solve(
-                    L11, v, left_side=True, lower=True,
+                    Lc[:, : B.c_pad, :], v, left_side=True, lower=True,
                     unit_diagonal=True, transpose_a=True,
                 )
             x = put(x, B, xc)
+            if B.asm:
+                if B.u_pad:
+                    if rv is None:
+                        rv = jnp.zeros((B.k, B.u_pad, r), dtype)
+                    w = jnp.concatenate([xc, rv], axis=1)   # [k, rp, r]
+                else:
+                    w = xc
+                for (sl, sb, akey) in B.asm:
+                    w_sel = jnp.take(w, arrays[akey + ":planes"], axis=0)
+                    P = pstore[akey][:, : w.shape[1], :]
+                    vals = jnp.einsum("kri,krs->kis", P, w_sel)
+                    csl = arrays[akey + ":clanes"]
+                    tgt = rowvals.get((sl, sb))
+                    if tgt is None:
+                        kc_b = plan.levels[sl][sb].k
+                        cup = plan.levels[sl][sb].u_pad
+                        tgt = jnp.zeros((kc_b, cup, r), dtype)
+                    rowvals[(sl, sb)] = tgt.at[csl].set(vals)
 
     out = x[arrays["solve_out"]]
     return out[:, 0] if single else out
