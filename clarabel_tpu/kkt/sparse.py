@@ -69,6 +69,10 @@ class SparseKKT:
     nonsym: bool = False
     #: static diagonal offsets of the DIA matvec layout (empty = fallback)
     dia_offsets: tuple = ()
+    #: scatter-free DIA recipe (zero/NN layouts with DIA-compact P and A):
+    #: per K offset, the static segments assembling its lane directly from
+    #: P.kd / A.kd / the Hs diagonal — no per-iteration layout scatter
+    dia_recipe: tuple = ()
 
     def device_data(self, dtype, device=None):
         """Stage every index array (plan + assembly maps) onto ``device``
@@ -226,12 +230,75 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
         np_arrays["kkt:dia_pos"] = dia_pos[order].astype(np.int32)
         np_arrays["kkt:dia_src"] = fslot[order].astype(np.int32)
         dia_offsets = tuple(int(o) for o in uoff)
+
+    # scatter-free DIA recipe: for zero/NN layouts, K's full-symmetric
+    # DIA lanes decompose exactly into P's and A's (already materialized
+    # by COOMat.predia) plus the Hs diagonal — the per-iteration layout
+    # scatter (~13 ns/element over nnz+strict entries) disappears.
+    dia_recipe: tuple = ()
+    only_zero_nn = (
+        layout.m_soc == 0 and layout.num_exp == 0 and layout.num_pow == 0
+        and layout.num_genpow == 0 and layout.num_psd == 0
+    )
+    if dia_offsets and pdim == 0 and only_zero_nn:
+        dia_recipe = _build_dia_recipe(
+            dia_offsets, n, m, N, layout,
+            P_rows, P_cols, A_rows, A_cols,
+        )
+
     return SparseKKT(
         plan=plan, n=n, m=m, N=N, nnz=nnz, np_arrays=np_arrays,
         soc_expanded=soc_expanded, genpow_expanded=genpow_expanded,
         dia_offsets=dia_offsets,
         nonsym=bool(layout.num_exp or layout.num_pow or layout.num_genpow),
+        dia_recipe=dia_recipe,
     )
+
+
+def _build_dia_recipe(dia_offsets, n, m, N, layout,
+                      P_rows, P_cols, A_rows, A_cols):
+    """Host-side: per K offset, the static segments assembling its lane
+    from P.kd / A.kd / -hs_diag.  Returns () when P or A is not
+    DIA-compact or the derived offset set disagrees with the K pattern's
+    (then the scatter fallback stays)."""
+    from ..algebra.coo import dia_metadata
+
+    P_offs, _ = dia_metadata(P_rows, P_cols, (n, n))
+    A_offs, _ = dia_metadata(A_rows, A_cols, (m, n))
+    if P_offs is None or A_offs is None:
+        return ()
+    derived = set(P_offs)
+    for oA in A_offs:
+        derived.add(oA - n)   # A block: K row n+i, col i+oA
+        derived.add(n - oA)   # mirrored Aᵀ block
+    derived.add(0)            # Hs diagonal (may be absent if m == n_zero)
+    if not set(dia_offsets) <= derived:
+        return ()
+
+    recipe = []
+    for o in dia_offsets:
+        segs = []
+        if o in P_offs:
+            # K rows [0, n): P's own lane
+            segs.append(("P", P_offs.index(o), 0, n, 0))
+        if (o + n) in A_offs:
+            # lower A block: K rows [n, n+m)
+            segs.append(("Alow", A_offs.index(o + n), n, m, 0))
+        if (n - o) in A_offs:
+            # mirrored block: K row j = i + oA carries A.kd[oA][i];
+            # valid while 0 <= j < n and 0 <= i < m
+            oA = n - o
+            j0 = max(0, oA)
+            j1 = min(n, oA + m)
+            if j1 > j0:
+                segs.append(("Amir", A_offs.index(oA), j0, j1 - j0,
+                             j0 - oA))
+        if o == 0 and layout.n_nn:
+            # Hs diagonal: NN rows are the contiguous tail after the
+            # zero-cone block (row order groups cones by kind)
+            segs.append(("Hs", 0, n + layout.n_zero, layout.n_nn, 0))
+        recipe.append((int(o), tuple(segs)))
+    return tuple(recipe)
 
 
 # ----------------------------------------------------------------------
@@ -328,6 +395,52 @@ def make_matvec(ctx: SparseKKT, data, Kvals):
         )
         .reshape(O, N)
     )
+    lo = max(0, -min(offs))
+    hi = max(0, max(offs))
+
+    def mv(v):
+        single = v.ndim == 1
+        if single:
+            v = v[:, None]
+        vp = jnp.pad(v, ((lo, hi), (0, 0)))
+        acc = jnp.zeros_like(v)
+        for i, o in enumerate(offs):
+            acc = acc + Kd[i][:, None] * jax.lax.dynamic_slice_in_dim(
+                vp, lo + o, N, 0
+            )
+        return acc[:, 0] if single else acc
+
+    return mv
+
+
+def make_matvec_sources(ctx: SparseKKT, P, A, hs_vals):
+    """Scatter-free refinement matvec for zero/NN layouts: K's DIA lanes
+    assemble directly from the already-materialized ``P.kd`` / ``A.kd``
+    and the Hs diagonal by the static :func:`_build_dia_recipe` segments —
+    pure pads and adds, no per-iteration layout scatter (which costs
+    ~13 ns/element over nnz+strict entries)."""
+    offs = ctx.dia_offsets
+    N = ctx.N
+    dtype = hs_vals.dtype if hs_vals.size else P.data.dtype
+
+    lanes = []
+    for o, segs in ctx.dia_recipe:
+        lane = jnp.zeros(N, dtype)
+        for spec in segs:
+            kind, lane_idx, row0, length = spec[0], spec[1], spec[2], spec[3]
+            if kind == "P":
+                seg = P.kd[lane_idx]
+            elif kind == "Alow":
+                seg = A.kd[lane_idx]
+            elif kind == "Amir":
+                src0 = spec[4]
+                seg = A.kd[lane_idx][src0 : src0 + length]
+            else:  # Hs diagonal (negated block of K)
+                seg = -hs_vals
+            lane = lane + jnp.pad(seg, (row0, N - row0 - seg.shape[0]))
+        lanes.append(lane)
+    Kd = jnp.stack(lanes)
+
     lo = max(0, -min(offs))
     hi = max(0, max(offs))
 

@@ -467,7 +467,16 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
         mff, ok = kkt_sparse.factor(
             ctx, data, Kreg, settings, use_pallas=use_pallas
         )
-        K_true = kkt_sparse.make_matvec(ctx, data, Kvals)
+        if (
+            ctx.dia_recipe
+            and getattr(P, "kd", None) is not None
+            and getattr(A, "kd", None) is not None
+        ):
+            # zero/NN layouts: K's DIA lanes assemble scatter-free from
+            # the predia'd P/A lanes + the Hs diagonal
+            K_true = kkt_sparse.make_matvec_sources(ctx, P, A, hs_vals)
+        else:
+            K_true = kkt_sparse.make_matvec(ctx, data, Kvals)
         return ("mf", (ctx, data, mff)), K_true, ok
 
     method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)

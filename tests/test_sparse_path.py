@@ -339,3 +339,51 @@ def test_sparse_path_json_roundtrip(tmp_path):
     out = solver2.solve()
     assert out.status == ref.status == ct.SolverStatus.Solved
     assert abs(out.obj_val - ref.obj_val) < 1e-8
+
+
+def test_dia_recipe_matvec_matches_segment_matvec():
+    """The scatter-free DIA recipe (K lanes assembled from P.kd/A.kd/Hs
+    diag; kkt/sparse._build_dia_recipe) must reproduce the segment-sum
+    symmetric matvec exactly on a banded zero/NN problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from clarabel_tpu.kkt import sparse as kkt_sparse
+    from clarabel_tpu.cones import ops as cone_ops
+
+    rng = np.random.default_rng(2)
+    n = 300
+    Pm = sp.diags([2.0 * np.ones(n), -0.5 * np.ones(n - 1),
+                   -0.5 * np.ones(n - 1)], [0, 1, -1], format="csc")
+    P_full = ((Pm + Pm.T) * 0.5).tocsc()
+    q = rng.standard_normal(n)
+    Aeq = sp.csc_matrix(
+        (np.array([1.0, -1.0, 1.0, -1.0]),
+         (np.array([0, 0, 1, 1]), np.array([0, 1, 1, 2]))),
+        shape=(2, n),
+    )  # x0=x1, x1=x2: banded equality rows
+    A = sp.vstack([Aeq, sp.eye(n), -sp.eye(n)], format="csc")
+    b = np.concatenate([[0.0, 0.0], np.ones(n), np.ones(n)])
+    cones = [ct.ZeroConeT(2), ct.NonnegativeConeT(2 * n)]
+    solver = ct.DefaultSolver(P_full, q, A, b, cones, _mf())
+    ctx = solver._skkt
+    assert ctx.dia_recipe, "recipe must build for banded zero/NN layouts"
+    data = solver._skkt_data
+
+    # a consistent (Kvals, hs_vals) pair from real scaling state values
+    hs_vals = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=2 * n)  # NN nn_w^2 diag
+    )
+    exp_vals = jnp.zeros(0)
+    s = solver.settings
+    Kvals, _ = kkt_sparse.assemble(
+        ctx, data, solver._P, solver._A, hs_vals, exp_vals, s
+    )
+    mv_seg = kkt_sparse.make_matvec(ctx, data, Kvals)
+    mv_rec = kkt_sparse.make_matvec_sources(
+        ctx, solver._P.predia(), solver._A.predia(), hs_vals
+    )
+    v = jnp.asarray(rng.standard_normal(ctx.N))
+    y1 = np.asarray(mv_seg(v))
+    y2 = np.asarray(mv_rec(v))
+    np.testing.assert_allclose(y1, y2, rtol=1e-12, atol=1e-12)
