@@ -27,15 +27,22 @@ from .statuses import SolverStatus, SCALING_DUAL, SCALING_PRIMAL_DUAL
 _UNSOLVED = int(SolverStatus.Unsolved)
 
 
+import time as _time_mod
+
+#: clock epoch: raw monotonic() is seconds since boot (~1e5-1e6), where a
+#: float32 ulp is tens of milliseconds — fast solves land inside ONE ulp
+#: and `now - start == 0`, so MaxTime never fires (observed).  Anchoring
+#: at import keeps the values small and the f32 delta at µs precision.
+_CLOCK_EPOCH = _time_mod.monotonic()
+
+
 def _clock():
     """Host wall-clock read as an ordered callback (for time limits)."""
-    import time as _time
-
     import numpy as _np
     from jax.experimental import io_callback
 
     return io_callback(
-        lambda: _np.float32(_time.monotonic()),
+        lambda: _np.float32(_time_mod.monotonic() - _CLOCK_EPOCH),
         jax.ShapeDtypeStruct((), jnp.float32),
         ordered=True,
     )
