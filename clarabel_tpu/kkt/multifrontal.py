@@ -183,7 +183,7 @@ def partial_ldl(F, c, signs, eps, delta, diag_fn=_diag_factor):
 
 
 def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
-              stable_inverse=False):
+              stable_inverse=False, finit=None):
     """Numeric factorization.  ``Kvals`` is the canonical lower-triangle
     nonzero vector of K (original frame, the CSC order that was handed to
     :func:`mf_symbolic.analyze`).
@@ -213,21 +213,26 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
             if not pallas_diag.supported(D.shape[1], D.dtype):
                 return _diag_factor(D, s, e, d)
             return pallas_diag.diag_ldl(D, s, float(e), float(d))
-    dtype = Kvals.dtype
-    # kkt/sparse.build composes the fill-reducing permutation into its
-    # assembly maps and drops "kperm_map"; standalone plans (tests, direct
-    # analyze() users) still carry canonical-order values
-    kp = arrays.get("kperm_map")
-    Kp = Kvals if kp is None else Kvals[kp]
+    if finit is None:
+        dtype = Kvals.dtype
+        # kkt/sparse.build composes the fill-reducing permutation into its
+        # assembly maps and drops "kperm_map"; standalone plans (tests,
+        # direct analyze() users) still carry canonical-order values
+        kp = arrays.get("kperm_map")
+        Kp = Kvals if kp is None else Kvals[kp]
+        # ONE globally-sorted scatter initializes every front from the KKT
+        # nonzeros (maps are destination-sorted and unique: each K entry
+        # belongs to exactly one front cell); buckets slice their cells out
+        finit = jnp.zeros(plan.total_cells, dtype)
+        finit = finit.at[arrays["init_dst_all"]].add(
+            Kp[arrays["init_src_all"]],
+            indices_are_sorted=True, unique_indices=True,
+        )
+    else:
+        # pre-fused assembly workspace (kkt/sparse.factor_fused): sources
+        # already scattered straight into the front cells
+        dtype = finit.dtype
     dvec = jnp.ones(plan.W, dtype)
-    # ONE globally-sorted scatter initializes every front from the KKT
-    # nonzeros (maps are destination-sorted and unique: each K entry
-    # belongs to exactly one front cell); buckets slice their cells out
-    finit = jnp.zeros(plan.total_cells, dtype)
-    finit = finit.at[arrays["init_dst_all"]].add(
-        Kp[arrays["init_src_all"]],
-        indices_are_sorted=True, unique_indices=True,
-    )
     out = []
     ustore = {}
     pstore = {}

@@ -246,6 +246,36 @@ def build(layout, n, P_rows, P_cols, A_rows, A_cols, ordering="auto",
             P_rows, P_cols, A_rows, A_cols,
         )
 
+    if dia_recipe:
+        # fused assembly: with the recipe matvec covering refinement,
+        # Kvals is never needed — sources scatter STRAIGHT into the
+        # multifrontal assembly workspace (map composition through the
+        # per-slot front cell), merging the Kvals scatter, the
+        # regularization scatter and the front-init gather+scatter into
+        # one scatter-add.
+        cell_of_slot = np.empty(nnz, np.int64)
+        cell_of_slot[plan.arrays["init_src_all"]] = plan.arrays[
+            "init_dst_all"
+        ]
+        src_slots = np.concatenate([map_P, map_A, map_hs, map_exp])
+        np_arrays["fuse:cells"] = np.concatenate(
+            [cell_of_slot[src_slots], cell_of_slot[map_diag]]
+        ).astype(np.int32)
+        # |diag K| contributions for the static-regularization magnitude:
+        # indices into the concatenated source-value vector (each diag
+        # slot receives at most one contribution, so max over entries
+        # equals max over summed slots)
+        nP = P_tril_sel.size
+        nA = A_rows.size
+        pdiag = np.where(
+            P_rows[P_tril_sel] == P_cols[P_tril_sel]
+        )[0]
+        hsdiag = np.where(hs_r == hs_c)[0] + nP + nA
+        expdiag = np.where(exp_r == exp_c)[0] + nP + nA + hs_r.size
+        np_arrays["fuse:absdiag_sel"] = np.concatenate(
+            [pdiag, hsdiag, expdiag]
+        ).astype(np.int32)
+
     return SparseKKT(
         plan=plan, n=n, m=m, N=N, nnz=nnz, np_arrays=np_arrays,
         soc_expanded=soc_expanded, genpow_expanded=genpow_expanded,
@@ -457,6 +487,44 @@ def make_matvec_sources(ctx: SparseKKT, P, A, hs_vals):
         return acc[:, 0] if single else acc
 
     return mv
+
+
+def factor_fused(ctx: SparseKKT, data, P, A, hs_vals, exp_vals, settings,
+                 use_pallas=False):
+    """Fused assembly + numeric refactorization for layouts with a DIA
+    recipe: source values scatter straight into the multifrontal assembly
+    workspace ("fuse:cells" composes the Kvals slot and front-cell maps),
+    with static regularization folded into the same scatter-add — the
+    Kvals vector is never materialized (the recipe matvec serves
+    refinement).  Semantics identical to assemble()+factor()."""
+    dtype = P.data.dtype
+    vals = [P.data[data["kkt:P_tril_sel"]], A.data]
+    if hs_vals.shape[0]:
+        vals.append(-hs_vals)
+    if exp_vals.shape[0]:
+        vals.append(exp_vals)
+    vals = jnp.concatenate(vals)
+    if settings.static_regularization_enable:
+        dcontrib = vals[data["fuse:absdiag_sel"]]
+        eps = (
+            settings.static_regularization_constant
+            + settings.static_regularization_proportional
+            * jnp.max(jnp.abs(dcontrib), initial=0.0)
+        )
+        reg = data["kkt:dsigns"] * eps
+    else:
+        reg = jnp.zeros(ctx.N, dtype)
+    finit = jnp.zeros(ctx.plan.total_cells, dtype)
+    finit = finit.at[data["fuse:cells"]].add(jnp.concatenate([vals, reg]))
+    if settings.dynamic_regularization_enable:
+        deps = settings.dynamic_regularization_eps
+        delta = settings.dynamic_regularization_delta
+    else:
+        deps, delta = -float("inf"), 1.0
+    return multifrontal.mf_factor(
+        ctx.plan, data, None, deps, delta, use_pallas=use_pallas,
+        stable_inverse=ctx.nonsym, finit=finit,
+    )
 
 
 def factor(ctx: SparseKKT, data, K_reg_vals, settings, use_pallas=False):

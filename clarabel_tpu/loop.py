@@ -468,21 +468,27 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
         exp_vals = cone_ops.expansion_vals(
             layout, scaling_state, dtype, ctx.soc_expanded, ctx.genpow_expanded
         )
-        Kvals, Kreg = kkt_sparse.assemble(
-            ctx, data, P, A, hs_vals, exp_vals, settings
-        )
-        mff, ok = kkt_sparse.factor(
-            ctx, data, Kreg, settings, use_pallas=use_pallas
-        )
         if (
             ctx.dia_recipe
             and getattr(P, "kd", None) is not None
             and getattr(A, "kd", None) is not None
         ):
-            # zero/NN layouts: K's DIA lanes assemble scatter-free from
-            # the predia'd P/A lanes + the Hs diagonal
+            # zero/NN layouts: the Kvals vector is never materialized —
+            # sources scatter straight into the multifrontal assembly
+            # workspace (fused factor) and K's DIA lanes assemble
+            # scatter-free from the predia'd P/A lanes + the Hs diagonal
+            mff, ok = kkt_sparse.factor_fused(
+                ctx, data, P, A, hs_vals, exp_vals, settings,
+                use_pallas=use_pallas,
+            )
             K_true = kkt_sparse.make_matvec_sources(ctx, P, A, hs_vals)
         else:
+            Kvals, Kreg = kkt_sparse.assemble(
+                ctx, data, P, A, hs_vals, exp_vals, settings
+            )
+            mff, ok = kkt_sparse.factor(
+                ctx, data, Kreg, settings, use_pallas=use_pallas
+            )
             K_true = kkt_sparse.make_matvec(ctx, data, Kvals)
         return ("mf", (ctx, data, mff)), K_true, ok
 

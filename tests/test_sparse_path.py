@@ -387,3 +387,45 @@ def test_dia_recipe_matvec_matches_segment_matvec():
     y1 = np.asarray(mv_seg(v))
     y2 = np.asarray(mv_rec(v))
     np.testing.assert_allclose(y1, y2, rtol=1e-12, atol=1e-12)
+
+
+def test_fused_factor_matches_legacy_assembly():
+    """factor_fused (sources scatter straight into the assembly
+    workspace, regularization folded in) must produce the same pivots
+    and solves as assemble()+factor()."""
+    import jax.numpy as jnp
+
+    from clarabel_tpu.kkt import sparse as kkt_sparse
+
+    rng = np.random.default_rng(4)
+    n = 400
+    Pm = sp.diags([2.0 * np.ones(n), -0.5 * np.ones(n - 1),
+                   -0.5 * np.ones(n - 1)], [0, 1, -1], format="csc")
+    P_full = ((Pm + Pm.T) * 0.5).tocsc()
+    q = rng.standard_normal(n)
+    A = sp.vstack([sp.eye(n), -sp.eye(n)], format="csc")
+    b = np.ones(2 * n)
+    solver = ct.DefaultSolver(P_full, q, A, b,
+                              [ct.NonnegativeConeT(2 * n)], _mf())
+    ctx = solver._skkt
+    assert ctx.dia_recipe
+    data = solver._skkt_data
+    s = solver.settings
+    hs_vals = jnp.asarray(rng.uniform(0.5, 2.0, size=2 * n))
+    exp_vals = jnp.zeros(0)
+
+    Kvals, Kreg = kkt_sparse.assemble(
+        ctx, data, solver._P, solver._A, hs_vals, exp_vals, s
+    )
+    f_legacy, ok1 = kkt_sparse.factor(ctx, data, Kreg, s)
+    f_fused, ok2 = kkt_sparse.factor_fused(
+        ctx, data, solver._P, solver._A, hs_vals, exp_vals, s
+    )
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_array_equal(
+        np.asarray(f_legacy["dvec"]), np.asarray(f_fused["dvec"])
+    )
+    rhs = jnp.asarray(rng.standard_normal(ctx.N))
+    x1 = np.asarray(kkt_sparse.solve(ctx, data, f_legacy, rhs))
+    x2 = np.asarray(kkt_sparse.solve(ctx, data, f_fused, rhs))
+    np.testing.assert_array_equal(x1, x2)
