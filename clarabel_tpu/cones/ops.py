@@ -942,3 +942,39 @@ def hs_diag(layout: ConeLayout, state, dtype):
         sl = layout.slice_of(api.NONNEGATIVE)
         h = h.at[sl].set(state["nn_w"] ** 2)
     return h
+
+
+def hs_diag_lowrank(layout: ConeLayout, state, dtype):
+    """Diagonal + per-SOC rank-1 representation of Hs for the Woodbury
+    Schur path (zero/NN/SOC layouts).
+
+    Returns ``(h, U)`` with ``Hs = diag(h) + U Uᵀ`` *exactly*: each SOC's
+    dense NT block WᵀW = η²(2wwᵀ - J) (socone.rs:227-245) is a *signed*
+    diagonal η²·(-1, +1, …, +1) plus the rank-1 term (√2ηw)(√2ηw)ᵀ.  Each
+    cone's Woodbury capacitance 1 + cᵀD⁻¹c = 1 - 2w₀² + 2w̄ᵀw̄ = -1
+    analytically (w is normalized: w₀² - w̄ᵀw̄ = 1), so the correction is
+    perfectly conditioned — unlike the PSD-diagonal rank-2 (d,u,v) form of
+    the sparse expansion (datamaps.rs:112-221), whose 2x2 capacitance
+    determinant cancels catastrophically in f32 as the cone degenerates.
+    ``U`` is [m, k] with column √2·η_c·w_c per cone c.
+    """
+    h = jnp.zeros(layout.m, dtype)
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        h = h.at[sl].set(state["nn_w"] ** 2)
+
+    k = layout.num_soc
+    U = jnp.zeros((layout.m, k), dtype)
+    if k:
+        sl = layout.slice_of(api.SOC)
+        off = sl.start
+        w, eta = state["soc_w"], state["soc_eta"]
+        seg = layout.soc_seg
+        head = jnp.asarray(layout.soc_head_mask)
+        eta2 = (eta**2)[seg]
+        dvals = jnp.where(head, -eta2, eta2)
+        h = h.at[sl].set(dvals.astype(dtype))
+        c = jnp.sqrt(jnp.asarray(2.0, dtype)) * eta[seg] * w
+        ridx = np.arange(layout.m_soc, dtype=np.int64) + off
+        U = U.at[ridx, layout.soc_seg].set(c.astype(dtype))
+    return h, U

@@ -136,6 +136,104 @@ def prepare_schur_diag(P, A, hs_diag, settings, eq_mask=None):
     return ("schur_diag", (hinv, LS, A, n)), matvec, ok
 
 
+def prepare_schur_lowrank(P, A, h, U, settings, n_eq=0):
+    """Woodbury extension of :func:`prepare_schur_diag` to diag+rank-1
+    layouts (zero/NN/SOC cones): each SOC NT block factors *exactly* as a
+    signed diagonal plus rank-1, WᵀW = η²·diag(-1,1,…,1) + ccᵀ with
+    c = √2ηw (socone.rs:227-245), so the condensation over the
+    inequality rows
+
+        S = P̃ + A_iᵀ H̃_i⁻¹ A_i,    H̃_i = diag(h̃_i) + U_i U_iᵀ ≻ 0
+
+    applies H̃_i⁻¹ via the Woodbury identity — one [n, k] matmul plus k
+    *scalar* capacitances 1 + cᵀD⁻¹c = -1 + O(ε/η²) (analytically exact
+    for normalized w; disjoint cone supports make the capacitance matrix
+    diagonal) — and batched SOCPs ride the same MXU Cholesky path as the
+    diagonal QP class instead of a pivoted LU of the full KKT.
+
+    Equality (zero-cone) rows — the leading ``n_eq`` rows of A — are NOT
+    condensed through their (tiny) regularization diagonal: they are
+    eliminated exactly at a second level through the p×p SPD Schur
+    complement E = A_e S⁻¹ A_eᵀ + εI, avoiding the 1/ε amplification a
+    diagonal proxy would need.  Iterative refinement against the exact K
+    recovers whatever the f32 product form loses
+    (directldlkktsolver.rs:266-321).
+
+    Returns (factors, matvec, ok); ``matvec`` applies the unregularized K.
+    """
+    n = P.shape[0]
+    m = A.shape[0]
+    p = int(n_eq)
+    A_e, A_i = A[:p], A[p:]
+    h_i = h[p:]
+    k = U.shape[1]
+    U_i = U[p:]
+
+    # true Hs diagonal (for the regularization magnitude): h + Σ_k U²
+    hs_full_diag = h + jnp.sum(U**2, axis=1) if k else h
+    maxdiag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(P)), initial=0.0),
+        jnp.max(jnp.abs(hs_full_diag), initial=0.0),
+    )
+    if settings.static_regularization_enable:
+        eps = (
+            settings.static_regularization_constant
+            + settings.static_regularization_proportional * maxdiag
+        )
+    else:
+        eps = jnp.asarray(
+            jnp.finfo(P.dtype).eps, P.dtype
+        )  # the eq-block elimination needs ε > 0
+
+    # signed static regularization: ε with the sign of the (signed)
+    # diagonal so SOC head entries move away from zero, not across it
+    d = h_i + jnp.where(h_i < 0, -eps, eps)
+    dinv = 1.0 / d
+
+    if k:
+        # scalar capacitances m_c = 1 + c_cᵀ D⁻¹ c_c  (≈ -1 analytically)
+        B = dinv[:, None] * U_i
+        caps = 1.0 + jnp.einsum("mk,mk->k", U_i, B)
+        capinv = 1.0 / caps
+        ok_lr = jnp.all(jnp.abs(caps) > 0.1) & jnp.all(jnp.isfinite(capinv))
+    else:
+        capinv = jnp.zeros((0,), P.dtype)
+        ok_lr = jnp.asarray(True)
+
+    def hinv_apply(V):
+        """(H̃_i)⁻¹ V for V of shape [m - p] or [m - p, r]."""
+        vec = V.ndim == 1
+        Vm = V[:, None] if vec else V
+        Wv = dinv[:, None] * Vm
+        if k:
+            t = capinv[:, None] * (U_i.T @ Wv)
+            Wv = Wv - dinv[:, None] * (U_i @ t)
+        return Wv[:, 0] if vec else Wv
+
+    S = P + eps * jnp.eye(n, dtype=P.dtype) + A_i.T @ hinv_apply(A_i)
+    LS = jnp.linalg.cholesky(S)
+    ok = jnp.all(jnp.isfinite(LS)) & jnp.all(d != 0) & ok_lr
+
+    if p:
+        # second-level equality Schur complement (exact elimination)
+        E = A_e @ jsl.cho_solve((LS, True), A_e.T) + eps * jnp.eye(
+            p, dtype=P.dtype
+        )
+        LE = jnp.linalg.cholesky(E)
+        ok = ok & jnp.all(jnp.isfinite(LE))
+    else:
+        LE = None
+
+    def matvec(v):
+        v1, v2 = v[:n], v[n:]
+        hs_v2 = h * v2
+        if k:
+            hs_v2 = hs_v2 + U @ (U.T @ v2)
+        return jnp.concatenate([P @ v1 + A.T @ v2, A @ v1 - hs_v2])
+
+    return ("schur_lr", (hinv_apply, LS, LE, A_e, A_i, n, p)), matvec, ok
+
+
 def prepare_schur_diag_rowsharded(P, A, hs_diag, settings, eq_mask, mesh, axis):
     """Row-sharded variant of :func:`prepare_schur_diag` with the
     communication pattern fixed *by construction* via ``shard_map``:
@@ -227,6 +325,20 @@ def _raw_solve(factors, rhs):
         x1 = jsl.cho_solve((LS, True), b1 + A.T @ (hinv * b2))
         x2 = hinv * (A @ x1 - b2)
         return jnp.concatenate([x1, x2])
+    if kind == "schur_lr":
+        hinv_apply, LS, LE, A_e, A_i, n, p = data
+        b1 = rhs[:n]
+        b2e, b2i = rhs[n : n + p], rhs[n + p :]
+        c1 = b1 + A_i.T @ hinv_apply(b2i)
+        t = jsl.cho_solve((LS, True), c1)
+        if p:
+            y_e = jsl.cho_solve((LE, True), A_e @ t - b2e)
+            x1 = t - jsl.cho_solve((LS, True), A_e.T @ y_e)
+        else:
+            y_e = jnp.zeros(0, rhs.dtype)
+            x1 = t
+        y_i = hinv_apply(A_i @ x1 - b2i)
+        return jnp.concatenate([x1, y_e, y_i])
     LH, LS, A, n = data
     b1, b2 = rhs[:n], rhs[n:]
     w = jsl.cho_solve((LH, True), b2)
@@ -252,6 +364,13 @@ def solve_refined(factors, K_true, rhs, settings):
     abstol = settings.iterative_refinement_abstol
     maxiter = settings.iterative_refinement_max_iter
     stopratio = settings.iterative_refinement_stop_ratio
+    if factors[0] == "schur_lr":
+        # the Woodbury condensation leaves a larger one-pass error than a
+        # backward-stable pivoted LU (normal-equations conditioning), so
+        # drive refinement to the arithmetic floor instead of the preset
+        # target; the stall detector bounds the extra sweep count
+        reltol = min(reltol, 1e-9)
+        abstol = min(abstol, 1e-8)
 
     normb = jnp.max(jnp.abs(rhs))
     k_matvec = K_true if callable(K_true) else (lambda v: K_true @ v)

@@ -416,17 +416,24 @@ def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
     method = settings.direct_solve_method
     is_f32 = jnp.dtype(dtype) == jnp.float32
     if method == "auto":
-        diag_hs = (
-            layout.m_soc == 0
-            and layout.num_exp == 0
+        no_nonsym_no_psd = (
+            layout.num_exp == 0
             and layout.num_pow == 0
             and layout.num_genpow == 0
             and layout.num_psd == 0
         )
+        diag_hs = no_nonsym_no_psd and layout.m_soc == 0
         if is_f32 and diag_hs:
             # diagonal Hs (zero/NN cones): condensation stays well
             # conditioned (equality rows via the δ-proxy + refinement)
             method = "schur_diag"
+        elif is_f32 and no_nonsym_no_psd:
+            # zero/NN/SOC layouts: the SOC NT blocks factor exactly as
+            # diag + rank-2 (socone.rs:186-226), so the Woodbury Schur
+            # condensation keeps the MXU Cholesky path — measured ~20x
+            # the batched throughput of the pivoted-LU fallback at
+            # bench shapes, with refinement recovering f32 accuracy
+            method = "schur_lr"
         elif (
             is_f32
             and use_pallas
@@ -494,6 +501,16 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
 
     method = _resolved_kkt_method(layout, settings, dtype, n, use_pallas)
 
+    # the structured Schur paths only represent zero/NN(/SOC for schur_lr)
+    # scalings; demote an explicit request on an unsupported layout
+    has_nonsym_or_psd = (
+        layout.num_exp or layout.num_pow or layout.num_genpow or layout.num_psd
+    )
+    if method == "schur_lr" and has_nonsym_or_psd:
+        method = "lu"
+    if method == "schur_diag" and (has_nonsym_or_psd or layout.m_soc):
+        method = "lu"
+
     if method == "schur_diag":
         # fully structured throughput path: neither the dense Hs nor the
         # (n+m)^2 K is ever materialized — diag(Hs) feeds the weighted
@@ -514,6 +531,14 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
             factors, matvec, ok = kkt_dense.prepare_schur_diag(
                 P, A, hs_d, settings, eq_mask
             )
+        return factors, matvec, ok
+
+    if method == "schur_lr":
+        h, U = cone_ops.hs_diag_lowrank(layout, scaling_state, dtype)
+        factors, matvec, ok = kkt_dense.prepare_schur_lowrank(
+            # zero cones lead the row order
+            P, A, h, U, settings, n_eq=layout.n_zero
+        )
         return factors, matvec, ok
 
     Hs = cone_ops.hs_dense(layout, scaling_state, dtype)

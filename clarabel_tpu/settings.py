@@ -69,7 +69,8 @@ class DefaultSettings:
     #                    the structured Schur path, large sparse problems the
     #                    multifrontal engine, symmetric f32 TPU layouts with
     #                    n+m <= 1024 the Pallas LDL, everything else LU
-    #   "lu" / "schur" / "schur_diag" / "pallas" / "multifrontal" — forced
+    #   "lu" / "schur" / "schur_diag" / "schur_lr" / "pallas" /
+    #   "multifrontal" — forced
     #   "qdldl" / "faer" / "dense" — accepted for reference wire compat;
     #                    map to the LU quasidefinite path
     # ``max_threads`` and ``direct_kkt_solver`` are reference wire-compat
@@ -149,8 +150,8 @@ class DefaultSettings:
         if not self.direct_kkt_solver:
             raise SettingsError("only direct KKT solvers are supported")
         if self.direct_solve_method not in (
-            "auto", "lu", "schur", "schur_diag", "pallas", "dense", "qdldl",
-            "faer", "multifrontal"
+            "auto", "lu", "schur", "schur_diag", "schur_lr", "pallas",
+            "dense", "qdldl", "faer", "multifrontal"
         ):
             raise SettingsError(
                 f"unknown direct_solve_method {self.direct_solve_method!r}"
