@@ -20,8 +20,9 @@ from .settings import DefaultSettings
 _F64_MAX = np.finfo(np.float64).max
 
 
-def _csc_to_json(M: np.ndarray) -> dict:
-    """Dense -> CSC json dict (column-major nonzero scan)."""
+def _csc_to_json(M) -> dict:
+    """Dense or scipy-sparse -> CSC json dict.  Sparse inputs are never
+    densified (memory stays O(nnz); json.rs:22-96 serializes CSC natively)."""
     import scipy.sparse as sp
 
     C = sp.csc_matrix(M)
@@ -35,13 +36,14 @@ def _csc_to_json(M: np.ndarray) -> dict:
     }
 
 
-def _csc_from_json(d: dict) -> np.ndarray:
+def _csc_from_json(d: dict):
+    """CSC json dict -> scipy csc_matrix (O(nnz); callers densify only on
+    the dense solve path)."""
     import scipy.sparse as sp
 
-    M = sp.csc_matrix(
+    return sp.csc_matrix(
         (d["nzval"], d["rowval"], d["colptr"]), shape=(d["m"], d["n"])
     )
-    return M.toarray()
 
 
 def _cone_to_json(c: api.ConeSpec):
@@ -101,8 +103,11 @@ def _settings_from_json(d: dict) -> DefaultSettings:
 
 
 def save_problem(path, P, q, A, b, cones, settings: DefaultSettings):
+    import scipy.sparse as sp
+
+    P_triu = sp.triu(P, format="csc") if sp.issparse(P) else np.triu(P)
     data = {
-        "P": _csc_to_json(np.triu(P)),
+        "P": _csc_to_json(P_triu),
         "q": np.asarray(q, np.float64).tolist(),
         "A": _csc_to_json(A),
         "b": np.asarray(b, np.float64).tolist(),

@@ -1062,10 +1062,15 @@ class DefaultSolver:
         from . import json_io
 
         if self._sparse:
-            P = _symmetrize_triu(self._P_csc.toarray())
-            A = self._A_csc.toarray()
+            # stay O(nnz): triu P serializes directly; presolve row
+            # selection happens on the CSC structure (json.rs:22-96)
+            import scipy.sparse as sp
+
+            P = self._P_csc
+            A = self._A_csc
             if self._presolver is not None:  # match post-presolve b/cones
-                A = A[self._presolver.keep_logical, :]
+                keep = np.where(self._presolver.keep_logical)[0]
+                A = A.tocsr()[keep, :].tocsc()
         else:
             P, A = self._np_P, self._np_A
         json_io.save_problem(
