@@ -64,12 +64,13 @@ class Handle:
     """What the C side holds: the solver plus the user-frame dims (the
     solver's own ``m`` is the internal post-presolve/augmented count)."""
 
-    __slots__ = ("solver", "n", "m")
+    __slots__ = ("solver", "n", "m", "solve_t0")
 
     def __init__(self, solver, n, m):
         self.solver = solver
         self.n = n
         self.m = m
+        self.solve_t0 = None
 
 
 def new_solver(n, m, Pp, Pi, Px, q, Ap, Ai, Ax, b, cones, settings_json):
@@ -118,6 +119,9 @@ def solve_into(handle, x_mv, z_mv, s_mv):
 
     Returns (status:int, obj_val, obj_val_dual, solve_time, iterations,
     r_prim, r_dual) — the InfoJLRS analog tuple."""
+    import time
+
+    handle.solve_t0 = time.perf_counter()
     sol = handle.solver.solve()
     np.frombuffer(x_mv, np.float64)[:] = np.asarray(sol.x, np.float64)
     np.frombuffer(z_mv, np.float64)[:] = np.asarray(sol.z, np.float64)
@@ -138,6 +142,60 @@ def update(handle, which, vals):
     family, src/solver/implementations/default/data_updating.rs)."""
     v = np.frombuffer(vals, np.float64).copy()
     getattr(handle.solver, f"update_{which}")(v)
+
+
+def set_termination_callback_c(handle, trampoline):
+    """Install a C termination callback (reference: callbacks.rs:7-97,
+    the SolverTerminationCallbackFFI variant).  ``trampoline`` is a
+    PyCFunction wrapping the caller's fn-ptr + user_data; it takes the
+    in-progress info scalars and returns True to stop the solve."""
+    import time
+
+    def cb(info):
+        elapsed = (
+            time.perf_counter() - handle.solve_t0
+            if handle.solve_t0 is not None
+            else 0.0
+        )
+        return bool(
+            trampoline(
+                int(info.iterations),
+                float(info.cost_primal),
+                float(info.cost_dual),
+                float(info.res_primal),
+                float(info.res_dual),
+                float(elapsed),
+            )
+        )
+
+    handle.solver.set_termination_callback(cb)
+
+
+def unset_termination_callback(handle):
+    handle.solver.unset_termination_callback()
+
+
+def _history_rows(handle):
+    hist = getattr(handle.solver, "iteration_history", None)
+    if hist is None:
+        return np.zeros((0, 9))
+    hist = np.asarray(hist, np.float64)
+    if hist.ndim != 2 or hist.size == 0:
+        return np.zeros((0, 9))
+    valid = ~np.all(np.isnan(hist), axis=1)
+    nrows = int(np.max(np.nonzero(valid)[0]) + 1) if valid.any() else 0
+    return hist[:nrows]
+
+
+def iteration_history_len(handle):
+    return _history_rows(handle).shape[0]
+
+
+def iteration_history_into(handle, out_mv, max_rows):
+    rows = _history_rows(handle)[: int(max_rows)]
+    flat = np.frombuffer(out_mv, np.float64)
+    flat[: rows.size] = rows.ravel()
+    return rows.shape[0]
 
 
 def status_name(code):

@@ -1108,6 +1108,14 @@ class DefaultSolver:
         self._print_buffer = _io.StringIO()
         self._print_stream = self._print_buffer
 
+    def print_to_stream(self, stream):
+        """Route solver output to a caller-supplied writable object
+        (reference: io/mod.rs:19-51, the ``Stream`` print-target variant)."""
+        if not hasattr(stream, "write"):
+            raise TypeError("stream must be a writable object (no .write)")
+        self._print_stream = stream
+        self._print_buffer = None
+
     def get_print_buffer(self) -> str:
         if self._print_buffer is None:
             raise ValueError("print_to_buffer() was not enabled")

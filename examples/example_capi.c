@@ -11,6 +11,12 @@
 
 #include "clarabel_tpu.h"
 
+static int32_t stop_after_one(const clarabel_info *info, void *user_data) {
+    int *count = (int *)user_data;
+    ++*count;
+    return info->iterations >= 1;
+}
+
 int main(void) {
     /* P (upper triangle), CSC */
     int64_t Pp[] = {0, 1, 3};
@@ -43,6 +49,16 @@ int main(void) {
     }
     printf("status=%d obj=%.6g x=(%.4f, %.4f) iters=%d\n", status,
            info.obj_val, x[0], x[1], info.iterations);
+    if (status != CLARABEL_SOLVED) {
+        clarabel_free(solver);
+        return 2;
+    }
+
+    /* termination callback: cancel the next solve after one iteration */
+    int count = 0;
+    clarabel_set_termination_callback(solver, stop_after_one, &count);
+    status = clarabel_solve(solver, x, z, s, &info);
+    printf("callback status=%d after %d checks\n", status, count);
     clarabel_free(solver);
-    return status == CLARABEL_SOLVED ? 0 : 2;
+    return status == CLARABEL_CALLBACK_TERMINATED ? 0 : 3;
 }

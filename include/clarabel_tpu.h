@@ -97,6 +97,30 @@ int32_t clarabel_solve(void *handle, double *x, double *z, double *s,
 int32_t clarabel_update(void *handle, const char *which,
                         const double *vals, int64_t len);
 
+/* Per-iteration termination callback (reference:
+ * src/solver/core/callbacks.rs:7-97 — C fn-ptr + user data, checked every
+ * iteration).  The info snapshot carries the in-progress scalars
+ * (status = CLARABEL_UNSOLVED, solve_time = seconds since solve start).
+ * Return nonzero to stop the solve with CLARABEL_CALLBACK_TERMINATED. */
+typedef int32_t (*clarabel_termination_callback)(const clarabel_info *info,
+                                                 void *user_data);
+
+/* Install (or clear, with cb == NULL) the termination callback.
+ * Returns 0 on success, -1 on error. */
+int32_t clarabel_set_termination_callback(void *handle,
+                                          clarabel_termination_callback cb,
+                                          void *user_data);
+
+/* Number of recorded iteration-history rows from the last solve
+ * (0 before any solve; -1 on error).  Each row has 9 doubles:
+ * pcost, dcost, gap_abs, gap_rel, pres, dres, k/t, mu, step. */
+int64_t clarabel_iteration_history_len(void *handle);
+
+/* Copy up to max_rows iteration-history rows (9 doubles each, row-major)
+ * into out.  Returns the number of rows written, or -1 on error. */
+int64_t clarabel_iteration_history(void *handle, double *out,
+                                   int64_t max_rows);
+
 /* Print the hierarchical solve timers to stdout. */
 void clarabel_print_timers(void *handle);
 

@@ -90,6 +90,49 @@ struct GIL {
     ~GIL() { PyGILState_Release(st); }
 };
 
+// --- termination callback trampoline -------------------------------------
+// The Python side calls this PyCFunction once per IPM iteration with the
+// in-progress info scalars; it forwards to the user's C fn-ptr + user_data
+// (reference: callbacks.rs:7-97 — the C callback variant with a Mutex'd
+// user-data pointer; here the capsule plays that role).
+
+struct CallbackData {
+    clarabel_termination_callback fn;
+    void *user_data;
+};
+
+void cb_capsule_destructor(PyObject *capsule) {
+    delete static_cast<CallbackData *>(
+        PyCapsule_GetPointer(capsule, "clarabel_cb"));
+}
+
+PyObject *cb_trampoline(PyObject *self, PyObject *args) {
+    CallbackData *cd =
+        static_cast<CallbackData *>(PyCapsule_GetPointer(self, "clarabel_cb"));
+    if (!cd) return nullptr;
+    int iterations = 0;
+    double obj = 0, obj_dual = 0, rp = 0, rd = 0, elapsed = 0;
+    if (!PyArg_ParseTuple(args, "iddddd", &iterations, &obj, &obj_dual, &rp,
+                          &rd, &elapsed))
+        return nullptr;
+    clarabel_info info;
+    info.status = CLARABEL_UNSOLVED;  // in progress
+    info.iterations = iterations;
+    info.obj_val = obj;
+    info.obj_val_dual = obj_dual;
+    info.solve_time = elapsed;
+    info.r_prim = rp;
+    info.r_dual = rd;
+    int32_t stop = 0;
+    Py_BEGIN_ALLOW_THREADS
+    stop = cd->fn(&info, cd->user_data);
+    Py_END_ALLOW_THREADS
+    return PyBool_FromLong(stop != 0);
+}
+
+PyMethodDef cb_method_def = {"clarabel_cb_trampoline", cb_trampoline,
+                             METH_VARARGS, nullptr};
+
 }  // namespace
 
 extern "C" {
@@ -236,6 +279,119 @@ int32_t clarabel_update(void *handle, const char *which, const double *vals,
     }
     Py_DECREF(res);
     return 0;
+}
+
+int32_t clarabel_set_termination_callback(void *handle,
+                                          clarabel_termination_callback cb,
+                                          void *user_data) {
+    g_last_error.clear();
+    if (!handle) {
+        g_last_error = "null handle";
+        return -1;
+    }
+    GIL gil;
+    if (!cb) {
+        PyObject *fn = support_fn("unset_termination_callback");
+        if (!fn) {
+            set_error_from_python();
+            return -1;
+        }
+        PyObject *res =
+            PyObject_CallFunction(fn, "O", static_cast<PyObject *>(handle));
+        Py_DECREF(fn);
+        if (!res) {
+            set_error_from_python();
+            return -1;
+        }
+        Py_DECREF(res);
+        return 0;
+    }
+    CallbackData *cd = new CallbackData{cb, user_data};
+    PyObject *capsule = PyCapsule_New(cd, "clarabel_cb", cb_capsule_destructor);
+    if (!capsule) {
+        delete cd;
+        set_error_from_python();
+        return -1;
+    }
+    PyObject *callable = PyCFunction_New(&cb_method_def, capsule);
+    Py_DECREF(capsule);  // the PyCFunction holds its own reference
+    if (!callable) {
+        set_error_from_python();
+        return -1;
+    }
+    PyObject *fn = support_fn("set_termination_callback_c");
+    if (!fn) {
+        Py_DECREF(callable);
+        set_error_from_python();
+        return -1;
+    }
+    PyObject *res = PyObject_CallFunction(
+        fn, "ON", static_cast<PyObject *>(handle), callable);
+    Py_DECREF(fn);
+    if (!res) {
+        set_error_from_python();
+        return -1;
+    }
+    Py_DECREF(res);
+    return 0;
+}
+
+int64_t clarabel_iteration_history_len(void *handle) {
+    g_last_error.clear();
+    if (!handle) {
+        g_last_error = "null handle";
+        return -1;
+    }
+    GIL gil;
+    PyObject *fn = support_fn("iteration_history_len");
+    if (!fn) {
+        set_error_from_python();
+        return -1;
+    }
+    PyObject *res =
+        PyObject_CallFunction(fn, "O", static_cast<PyObject *>(handle));
+    Py_DECREF(fn);
+    if (!res) {
+        set_error_from_python();
+        return -1;
+    }
+    int64_t out = PyLong_AsLongLong(res);
+    Py_DECREF(res);
+    if (out == -1 && PyErr_Occurred()) {
+        set_error_from_python();
+        return -1;
+    }
+    return out;
+}
+
+int64_t clarabel_iteration_history(void *handle, double *out,
+                                   int64_t max_rows) {
+    g_last_error.clear();
+    if (!handle || !out) {
+        g_last_error = "null argument";
+        return -1;
+    }
+    GIL gil;
+    PyObject *fn = support_fn("iteration_history_into");
+    if (!fn) {
+        set_error_from_python();
+        return -1;
+    }
+    PyObject *res = PyObject_CallFunction(
+        fn, "ONL", static_cast<PyObject *>(handle),
+        mv_rw(out, max_rows * 9 * 8), (long long)max_rows);
+    Py_DECREF(fn);
+    if (!res) {
+        set_error_from_python();
+        return -1;
+    }
+    int64_t rows = PyLong_AsLongLong(res);
+    Py_DECREF(res);
+    if (rows == -1 && PyErr_Occurred()) {
+        set_error_from_python();
+        return -1;
+    }
+    return rows;
 }
 
 void clarabel_print_timers(void *handle) {

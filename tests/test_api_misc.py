@@ -112,6 +112,25 @@ def test_print_streams(capsys):
     assert "Solved" in captured.out
 
 
+def test_print_to_stream():
+    # reference: io/mod.rs Stream variant — any user-supplied writable
+    import io
+
+    P, q, A, b, cones = tiny_qp()
+    solver = ct.DefaultSolver(P, q, A, b, cones, ct.DefaultSettings(verbose=True))
+
+    class Tee(io.StringIO):
+        pass
+
+    stream = Tee()
+    solver.print_to_stream(stream)
+    solver.solve()
+    assert "Solved" in stream.getvalue()
+
+    with pytest.raises(TypeError):
+        solver.print_to_stream(42)
+
+
 def test_print_to_file(tmp_path):
     P, q, A, b, cones = tiny_qp()
     solver = ct.DefaultSolver(P, q, A, b, cones, ct.DefaultSettings(verbose=True))

@@ -41,6 +41,11 @@ class _Info(ctypes.Structure):
     ]
 
 
+# int32_t (*)(const clarabel_info *info, void *user_data)
+_CB = ctypes.CFUNCTYPE(ctypes.c_int32, ctypes.POINTER(_Info),
+                       ctypes.c_void_p)
+
+
 @pytest.fixture(scope="module")
 def lib():
     try:
@@ -68,6 +73,16 @@ def lib():
     ]
     L.clarabel_free.argtypes = [ctypes.c_void_p]
     L.clarabel_last_error.restype = ctypes.c_char_p
+    L.clarabel_set_termination_callback.restype = ctypes.c_int32
+    L.clarabel_set_termination_callback.argtypes = [
+        ctypes.c_void_p, _CB, ctypes.c_void_p
+    ]
+    L.clarabel_iteration_history_len.restype = ctypes.c_int64
+    L.clarabel_iteration_history_len.argtypes = [ctypes.c_void_p]
+    L.clarabel_iteration_history.restype = ctypes.c_int64
+    L.clarabel_iteration_history.argtypes = [
+        ctypes.c_void_p, f64p, ctypes.c_int64
+    ]
     return L
 
 
@@ -180,6 +195,47 @@ def test_capi_standalone_embedding():
     out = subprocess.run([exe], capture_output=True, timeout=600, env=env)
     assert out.returncode == 0, out.stderr.decode()[-2000:]
     assert b"status=1 obj=1.88" in out.stdout
+
+
+def test_capi_termination_callback(lib):
+    """Cancel a solve mid-run through the C fn-ptr callback and observe
+    CALLBACK_TERMINATED (reference: callbacks.rs:7-97 — the C callback
+    with user data, checked each iteration)."""
+    h = _basic_qp(lib)
+    seen = []
+
+    @_CB
+    def stop_after_two(info_p, user_data):
+        info = info_p.contents
+        seen.append((info.iterations, info.status, info.solve_time))
+        return 1 if info.iterations >= 2 else 0
+
+    assert lib.clarabel_set_termination_callback(h, stop_after_two, None) == 0
+    info = _Info()
+    status = lib.clarabel_solve(h, None, None, None, ctypes.byref(info))
+    assert status == 11, lib.clarabel_last_error().decode()  # CallbackTerminated
+    assert info.status == 11
+    # the callback saw in-progress snapshots: UNSOLVED status, iteration
+    # counter advancing, elapsed time monotone
+    assert seen and seen[-1][0] >= 2
+    assert all(st == 0 for _, st, _ in seen)
+    assert all(b[2] >= a[2] for a, b in zip(seen, seen[1:]))
+
+    # clearing the callback restores the normal path
+    assert lib.clarabel_set_termination_callback(
+        h, ctypes.cast(None, _CB), None) == 0
+    status = lib.clarabel_solve(h, None, None, None, ctypes.byref(info))
+    assert status == 1
+
+    # iteration history surface: full solve recorded > 2 rows, each row
+    # 9 doubles matching the info scalars
+    nrows = lib.clarabel_iteration_history_len(h)
+    assert nrows > 2
+    buf = np.zeros((nrows, 9))
+    got = lib.clarabel_iteration_history(h, _f64p(buf), nrows)
+    assert got == nrows
+    assert np.all(np.isfinite(buf[:got]))
+    lib.clarabel_free(h)
 
 
 def test_capi_genpow_alpha_marshalling(lib):
