@@ -353,6 +353,96 @@ class ChordalInfo:
 
         return x_new, z_new, s_new
 
+    def decomp_warm_start(self, x, s, z):
+        """Forward-map a user-frame iterate (x, s, z) into the decomposed
+        frame (the inverse direction of :meth:`decomp_reverse`), so warm
+        starts compose with chordal decomposition.
+
+        The map is a per-clique gather: each clique block takes the
+        corresponding principal-submatrix entries of the user s/z.  For the
+        standard transform the added variables get the exact split
+        H·x_H = s (overlapping entries divided by their multiplicity); for
+        the compact transform the overlap rows start at zero (consistent
+        with zero overlap variables).  The IPM shifts (s, z) strictly into
+        the cone interior before use (loop._shift_to_cone_interior), so the
+        map only needs to carry the warm information, not interiority.
+        The reference has no warm-start capability to mirror (SURVEY §5.4).
+        """
+        n0, m0 = self.init_dims
+        if self.cone_maps is not None:
+            return self._warm_start_compact(x, s, z)
+
+        # standard transform: A_new = [[A, H], [0, -I]], rows = [Zero(m0),
+        # cliques].  H is one-hot per column: column c touches row(c).
+        H = self.H.tocsc()
+        rows_of_col = H.indices  # one entry per column
+        noverlaps = np.asarray(self.H.sum(axis=1)).ravel()
+        s_add = s[rows_of_col] / noverlaps[rows_of_col]
+        x_new = np.concatenate([x, s_add])  # x_H = s_add (rows force s=x_H)
+        s_new = np.concatenate([np.zeros(m0), s_add])
+        z_new = np.concatenate([z, z[rows_of_col]])
+        return x_new, s_new, z_new
+
+    def _warm_start_compact(self, x, s, z):
+        """Compact (Kim et al.) forward map: every clique entry gathers the
+        user value; s splits overlapping entries by their clique
+        multiplicity so the reversal's sum reproduces the user s (z uses
+        overwrite semantics, so the plain gather is already exact).
+        Overlap variables start at zero."""
+        n0, m0 = self.init_dims
+        dim_new, n_overlaps = self._decomposed_dim_and_overlaps()
+
+        ranges = []
+        row = 0
+        for cone in self.init_cones:
+            ranges.append(row)
+            row += cone.nvars
+
+        # entry gather map (new row -> original row) and the original
+        # entry behind each overlap variable, in the exact emission order
+        # of _decomp_augment_compact
+        src = np.zeros(dim_new, np.int64)
+        u_src: List[int] = []
+        row_ptr = 0
+        for (orig_index, tc) in self.cone_maps:
+            lo = ranges[orig_index]
+            if tc is None:
+                w = self.init_cones[orig_index].nvars
+                src[row_ptr : row_ptr + w] = np.arange(lo, lo + w)
+                row_ptr += w
+            else:
+                t_idx, clique_index = tc
+                sp = self.spatterns[t_idx]
+                t = sp.sntree
+                snode_g = sorted(
+                    sp.ordering[v] for v in t.get_snode(clique_index)
+                )
+                sep_g = sorted(
+                    sp.ordering[v] for v in t.get_separators(clique_index)
+                )
+                for counter, (gi, gj, is_overlap) in enumerate(
+                    _block_indices(snode_g, sep_g)
+                ):
+                    off = lo + _tri_index(gi, gj)
+                    src[row_ptr + counter] = off
+                    if is_overlap:
+                        u_src.append(off)
+                row_ptr += _tri(len(snode_g) + len(sep_g))
+
+        # s gathers the FULL user value everywhere: each clique block is
+        # then a principal submatrix of the user s — PSD by construction,
+        # so the interiority shift stays small.  (A 1/multiplicity split
+        # would make the reversal sum exact but Hadamard-scales the block,
+        # which loses PSD-ness — measured to cost the warm start all of
+        # its advantage.)  The homogeneous embedding absorbs the resulting
+        # O(|s|) primal residual on the copy rows like any infeasible
+        # start; the overlap rows are made exact via u = -s.
+        s_new = s[src]
+        z_new = z[src]
+        u0 = np.asarray(u_src, np.int64)
+        x_new = np.concatenate([x, -s[u0]])
+        return x_new, s_new, z_new
+
     def _reverse_compact(self, z, s):
         """reference: reverse_compact.rs — s sums over overlapping clique
         entries; z overwrites them."""

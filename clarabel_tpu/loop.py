@@ -628,11 +628,16 @@ def default_start(layout, settings, P, q, A, b, p_is_zero, dtype,
     return x, s, z, jnp.asarray(1.0, dtype), jnp.asarray(1.0, dtype)
 
 
-def _shift_to_cone_interior(layout, v, pd):
-    """reference: variables.rs:231-256"""
+def _shift_to_cone_interior(layout, v, pd, floor=1.0):
+    """reference: variables.rs:231-256.  ``floor`` is the minimum shift
+    target: 1.0 for cold starts (the reference's unit-distance rule for an
+    arbitrary iterate), small for warm starts — a converged iterate sits ON
+    the cone boundary, and a unit shift would erase exactly the information
+    the warm start carries (measured: warm-from-solution restarts at
+    μ ≈ 2.4 with a unit floor vs μ ≈ 1e-2 with a 1e-2 floor)."""
     mn, pos = cone_ops.margins(layout, v, pd)
     degree = max(layout.degree, 1)
-    target = jnp.maximum(1.0, 0.1 * pos / degree)
+    target = jnp.maximum(floor, 0.1 * pos / degree)
 
     # two-stage shift to avoid catastrophic cancellation for large margins
     shift1 = jnp.where(mn <= 0, -mn, 0.0)
@@ -666,9 +671,18 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
 
     if warm_start is not None:
         x = warm_start[0]
-        s = _shift_to_cone_interior(layout, warm_start[1], cone_ops.PRIMAL)
-        z = _shift_to_cone_interior(layout, warm_start[2], cone_ops.DUAL)
+        # small interiority floor: a warm iterate lives near the boundary
+        wfloor = 1e-2
+        s = _shift_to_cone_interior(
+            layout, warm_start[1], cone_ops.PRIMAL, floor=wfloor
+        )
+        z = _shift_to_cone_interior(
+            layout, warm_start[2], cone_ops.DUAL, floor=wfloor
+        )
         tau = jnp.asarray(1.0, dtype)
+        # κ stays at the cold value: a centrality-consistent κ = sᵀz/deg
+        # was measured to give no extra benefit on QP warm starts and to
+        # stall the compact-chordal map (zero first steps -> status 10)
         kappa = jnp.asarray(1.0, dtype)
     else:
         x, s, z, tau, kappa = default_start(

@@ -79,6 +79,9 @@ class LinearSolverInfo:
     nnzA: int = 0
     nnzL: int = 0
     dim: int = 0  # KKT dimension, including sparse-cone expansion rows
+    #: auto-backend cost-model inputs/decision with provenance
+    #: (``_KKT_COST_MODELS``); None when no sparse-vs-dense choice was made
+    cost_model: Optional[dict] = None
 
 
 @dataclasses.dataclass
@@ -311,12 +314,41 @@ _SPARSE_AUTO_MIN_DIM = 3000
 _SPARSE_AUTO_MAX_DENSITY = 0.02
 
 
+def _estimate_hs_nnz(cones) -> int:
+    """Lower-triangle nonzero estimate of the -Hs block per cone kind
+    (the sparse assembly's hs_lower_coords / expansion_coords footprint;
+    reference: kkt_assembly.rs:53-103).  Diagonal entries are counted by
+    the caller's +N term; this adds the super-diagonal block weight."""
+    nnz = 0
+    for c in cones:
+        if c.kind == api.PSD:
+            tri = c.nvars  # already the svec dimension d(d+1)/2
+            nnz += tri * (tri - 1) // 2
+        elif c.kind == api.SOC:
+            d = c.nvars
+            # expanded (diag + 2 extension rows) or dense tri block,
+            # whichever the engine would pick (kkt/sparse.py thresholds)
+            nnz += min(d * (d - 1) // 2, 2 * (d + 1))
+        elif c.kind in (api.EXP, api.POW):
+            nnz += 3  # dense 3x3 lower block, off-diagonal part
+        elif c.kind == api.GENPOW:
+            nnz += 3 * (c.nvars + 1)
+    return nnz
+
+
 def _wants_sparse(settings, P_csc, A_csc, n, m, cones) -> bool:
     """Decide whether to route this problem to the sparse multifrontal
     KKT engine (the reference's auto backend picks between simplicial and
     supernodal sparse solvers, ldlsolvers/auto.rs:47-88; here the choice
     is dense-batched vs sparse-multifrontal, which the problem size and
-    density determine)."""
+    density determine).
+
+    PSD cones count their dense tri-block Hs footprint; a problem whose
+    density fails only because of large decomposable PSD blocks still
+    routes here tentatively when chordal decomposition is enabled — the
+    sparse setup re-checks the density after the decomposition and falls
+    back to the dense path if it did not help (the reference assembles
+    PSD Hs blocks sparsely the same way, kkt_assembly.rs:53-103)."""
     method = settings.direct_solve_method
     if method == "multifrontal":
         return True
@@ -325,38 +357,90 @@ def _wants_sparse(settings, P_csc, A_csc, n, m, cones) -> bool:
     N = n + m
     if N < _SPARSE_AUTO_MIN_DIM:
         return False
-    # chordal decomposition of PSD cones is a dense-path feature for now
-    if any(c.kind == api.PSD for c in cones):
-        return False
-    nnz = 2 * P_csc.nnz + A_csc.nnz + N
-    return nnz < _SPARSE_AUTO_MAX_DENSITY * float(N) * float(N)
+    nnz = 2 * P_csc.nnz + A_csc.nnz + N + _estimate_hs_nnz(cones)
+    if nnz < _SPARSE_AUTO_MAX_DENSITY * float(N) * float(N):
+        return True
+    # too dense only because of PSD Hs blocks? chordal decomposition may
+    # shrink them to clique size — try the sparse setup, which re-checks
+    if (
+        settings.chordal_decomposition_enable
+        and any(c.kind == api.PSD and c.dim > 3 for c in cones)
+    ):
+        nnz_nopsd = nnz - _estimate_hs_nnz(
+            [c for c in cones if c.kind == api.PSD]
+        )
+        return nnz_nopsd < _SPARSE_AUTO_MAX_DENSITY * float(N) * float(N)
+    return False
 
 
 # dense fallback is representable up to this KKT dimension (N^2 f32 = 256 MB)
 _DENSE_FALLBACK_MAX_DIM = 8192
 
+# Per-device-kind constants for the auto-backend cost model.  Each entry
+# gives per-iteration proxies: ``bucket_s`` (dispatch-chain latency per
+# multifrontal level bucket), ``mf_gflops`` (front-work FLOP rate),
+# ``dense_floor_s`` + ``dense_n4096_s`` (pivoted-LU latency floor and the
+# cubic term anchored at N=4096).  Keys match ``device.device_kind``;
+# unknown devices fall back to the TPU v5e measurements — the veto is a
+# heuristic either way, and the provenance is recorded in
+# ``solver.info.linear_solver.cost_model`` so a wrong table is visible.
+_KKT_COST_MODELS = {
+    "TPU v5 lite": dict(
+        bucket_s=1.0e-3, mf_gflops=20.0,
+        dense_floor_s=2.2e-2, dense_n4096_s=3.0e-2,
+        provenance="measured on TPU v5e (BENCH_EXT rounds 2-3)",
+    ),
+    # host CPU (the f64 oracle backend): dispatch is cheap, LAPACK LU is
+    # single-stream — both sides shrink roughly together, same shape
+    "cpu": dict(
+        bucket_s=1.0e-4, mf_gflops=5.0,
+        dense_floor_s=1.0e-3, dense_n4096_s=3.0e-1,
+        provenance="order-of-magnitude host-CPU estimate (unmeasured)",
+    ),
+}
+_KKT_COST_DEFAULT = dict(
+    _KKT_COST_MODELS["TPU v5 lite"],
+    provenance="default: TPU v5e measurements applied to an unmeasured "
+    "device kind",
+)
 
-def _prefer_dense(plan, N) -> bool:
+
+def _cost_model_for(device) -> dict:
+    kind = getattr(device, "device_kind", "") or getattr(
+        device, "platform", ""
+    )
+    for key, model in _KKT_COST_MODELS.items():
+        if key in kind or kind == key:
+            return dict(model, device_kind=kind)
+    return dict(_KKT_COST_DEFAULT, device_kind=kind)
+
+
+def _prefer_dense(plan, N, cost_model) -> bool:
     """Cost-model veto of the multifrontal choice after symbolic analysis —
     the analog of the reference's auto backend, which computes the AMD
     ordering + symbolic counts and switches on flops/nnz(L)
     (ldlsolvers/auto.rs:47-88).  Here the two candidates are the levelized
     multifrontal schedule vs one dense LU of the full KKT, so the model
-    compares their predicted per-iteration times with constants measured on
-    TPU v5e (BENCH_EXT.json): the multifrontal is dispatch-bound at
-    ~1.5 ms per bucket chain + ~20 GFLOP/s of front work; dense LU runs at
-    ~440 GFLOP/s.  High fill or a deep/fragmented schedule sends a
+    compares their predicted per-iteration times with per-device constants
+    (``_KKT_COST_MODELS``): the multifrontal is dispatch-bound at
+    ~bucket_s per bucket chain + front flops, dense LU has a latency floor
+    plus a cubic term.  High fill or a deep/fragmented schedule sends a
     medium-sized problem back to the dense path."""
     if N > _DENSE_FALLBACK_MAX_DIM:
+        cost_model["decision"] = "multifrontal (N beyond dense fallback)"
         return False
     n_buckets = sum(len(lvl) for lvl in plan.levels)
-    # measured v5e per-iteration proxies: each bucket is a ~1 ms dispatch
-    # chain, front flops run near 20 GFLOP/s; dense pivoted LU has a
-    # ~22 ms latency floor (N=1024: 27 ms) plus ~440 GFLOP/s of cubic work
-    # (N=4096: 51.7 ms)
-    t_mf = 1.0e-3 * n_buckets + plan.flops / 20e9
-    t_dense = 2.2e-2 + (float(N) / 4096.0) ** 3 * 3.0e-2
-    return t_dense < t_mf
+    t_mf = cost_model["bucket_s"] * n_buckets + plan.flops / (
+        cost_model["mf_gflops"] * 1e9
+    )
+    t_dense = cost_model["dense_floor_s"] + (float(N) / 4096.0) ** 3 * (
+        cost_model["dense_n4096_s"]
+    )
+    cost_model["t_mf_s"] = round(t_mf, 6)
+    cost_model["t_dense_s"] = round(t_dense, 6)
+    prefer = t_dense < t_mf
+    cost_model["decision"] = "dense" if prefer else "multifrontal"
+    return prefer
 
 
 class DefaultSolver:
@@ -514,6 +598,7 @@ class DefaultSolver:
             nnzA=int(self._A_csc.nnz),
             nnzL=N * (N + 1) // 2,  # dense factor
             dim=N,
+            cost_model=getattr(self, "_cost_model", None),
         )
 
     # ------------------------------------------------------------------
@@ -623,6 +708,24 @@ class DefaultSolver:
         else:
             self._use_pallas = "none"
 
+        # post-chordal density re-check: a PSD problem was routed here
+        # tentatively on the hope that the decomposition shrinks its dense
+        # tri-block Hs footprint; if it did not (no decomposition, or still
+        # too dense), the dense backends are the better program
+        if self.settings.direct_solve_method != "multifrontal" and any(
+            c.kind == api.PSD for c in self._cones_int
+        ):
+            N_est = n_int + self._layout.m
+            nnz_est = (
+                2 * P_full_csc.nnz + A_perm.nnz + N_est
+                + _estimate_hs_nnz(cones_int)
+            )
+            if nnz_est >= _SPARSE_AUTO_MAX_DENSITY * float(N_est) * float(
+                N_est
+            ):
+                return False
+
+        self._cost_model = _cost_model_for(device)
         with self.timers.scope("kktinit"):
             self._skkt = kkt_sparse.build(
                 self._layout, n_int,
@@ -635,7 +738,8 @@ class DefaultSolver:
             # fill/schedule on a medium problem falls back to dense LU
             if (
                 self.settings.direct_solve_method != "multifrontal"
-                and _prefer_dense(self._skkt.plan, self._skkt.N)
+                and _prefer_dense(self._skkt.plan, self._skkt.N,
+                                  self._cost_model)
             ):
                 return False
             self._skkt_data = self._skkt.device_data(self._dtype, device)
@@ -673,6 +777,7 @@ class DefaultSolver:
             nnzA=int(self._A_csc.nnz),
             nnzL=int(self._skkt.plan.nnzL),
             dim=self._skkt.N,
+            cost_model=getattr(self, "_cost_model", None),
         )
         return True
 
@@ -765,12 +870,6 @@ class DefaultSolver:
 
     # ------------------------------------------------------------------
     def _solve_warm(self, warm_start):
-        if self._chordal is not None:
-            raise ValueError(
-                "warm starting is not supported with chordal decomposition; "
-                "construct the solver with "
-                "chordal_decomposition_enable=False"
-            )
         if isinstance(warm_start, DefaultSolution):
             x0, s0, z0 = warm_start.x, warm_start.s, warm_start.z
         else:
@@ -791,6 +890,10 @@ class DefaultSolver:
             keep = self._presolver.keep_logical
             s0 = s0[keep]
             z0 = z0[keep]
+        if self._chordal is not None:
+            # forward-map through the clique transform (per-clique
+            # gather + exact/zero overlap split; decomp.decomp_warm_start)
+            x0, s0, z0 = self._chordal.decomp_warm_start(x0, s0, z0)
         perm = self._layout.perm
         put = lambda v: jax.device_put(np.asarray(v, self._dtype), self._device)
 

@@ -215,3 +215,35 @@ def test_warm_start():
     assert warm.status == ct.SolverStatus.Solved
     assert np.allclose(warm.x, cold.x, atol=1e-6)
     assert warm.iterations <= cold.iterations
+
+
+def test_warm_start_cuts_iterations():
+    """The warm-start interiority shift uses a small floor (loop.
+    _shift_to_cone_interior): restarting a QP from its own solution must
+    converge in strictly fewer iterations than the cold solve."""
+    rng = np.random.default_rng(7)
+    n = 60
+    M = rng.normal(size=(n, n))
+    P = M @ M.T / n + np.eye(n)
+    q = rng.normal(size=n)
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    b = np.ones(2 * n)
+    cones = [ct.NonnegativeConeT(2 * n)]
+    solver = ct.DefaultSolver(
+        P, q, A, b, cones, ct.DefaultSettings(verbose=False)
+    )
+    cold = solver.solve()
+    assert cold.status == ct.SolverStatus.Solved
+    warm = solver.solve(warm_start=cold)
+    assert warm.status == ct.SolverStatus.Solved
+    assert warm.iterations < cold.iterations
+    assert warm.obj_val == pytest.approx(cold.obj_val, abs=1e-7)
+
+    # MPC-style: perturbed objective re-solve still benefits
+    solver2 = ct.DefaultSolver(
+        P, q * 1.02, A, b, cones, ct.DefaultSettings(verbose=False)
+    )
+    warm2 = solver2.solve(warm_start=cold)
+    cold2 = solver2.solve()
+    assert warm2.status == ct.SolverStatus.Solved
+    assert warm2.iterations < cold2.iterations

