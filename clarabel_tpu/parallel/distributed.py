@@ -39,7 +39,9 @@ def initialize(
     auto-detected from the environment; elsewhere pass the coordinator's
     ``host:port`` plus process count/id.  Safe to call once per process,
     before any other JAX call."""
-    if jax.process_count() > 1:
+    # NB: do not probe jax.process_count() here — it would initialize the
+    # XLA backend, after which jax.distributed.initialize() refuses to run
+    if jax.distributed.is_initialized():
         return  # already initialized
     init_kwargs = dict(kwargs)
     if coordinator_address is not None:
@@ -55,6 +57,7 @@ def global_mesh(
     axis_names: Sequence[str] = ("batch",),
     shape: Optional[Tuple[int, ...]] = None,
     devices=None,
+    platform: Optional[str] = None,
 ) -> Mesh:
     """Build a mesh over every addressable device (all hosts).
 
@@ -62,9 +65,11 @@ def global_mesh(
     the first axis.  For a 2-D (batch x rows) mesh on an N-host x C-chip
     slice, ``shape=(N, C)`` keeps the row axis inside each host (psums on
     ICI) and the batch axis across hosts (only the scalar convergence
-    reduction crosses DCN)."""
+    reduction crosses DCN).  ``platform`` restricts the device set (e.g.
+    ``"cpu"`` for multi-process CPU runs — required in environments where
+    a remote accelerator plugin also registers devices)."""
     if devices is None:
-        devices = jax.devices()
+        devices = jax.devices(platform)
     devices = np.asarray(devices)
     if shape is None:
         shape = (devices.size,) + (1,) * (len(axis_names) - 1)

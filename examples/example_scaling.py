@@ -9,8 +9,17 @@ Run on real hardware:  python examples/example_scaling.py
 (on a single-chip or CPU-only machine the numbers are produced on
 virtual devices, where wall-clock efficiency is NOT meaningful — the
 harness says so.)
+
+Multi-process mode (the jax.distributed path, SURVEY §5.8):
+    python examples/example_scaling.py --multiprocess
+launches 2 coordinator-connected CPU worker processes on this machine
+and reports the 2-process solve time — it executes the real
+parallel/distributed.py code paths (init, global mesh, cross-process
+collectives via Gloo), again with virtual-device wall-clock caveats.
 """
 
+import os
+import subprocess
 import sys
 import time
 
@@ -81,5 +90,30 @@ def main():
           f"T({ndev},B={B})={tn*1e3:.1f}ms  efficiency={effw:.1%}")
 
 
+def main_multiprocess():
+    """2-process CPU run through tests/_distributed_worker.py."""
+    import socket
+
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    worker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "_distributed_worker.py",
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(port), str(r), "2"],
+                         env=env)
+        for r in range(2)
+    ]
+    rc = [p.wait(timeout=480) for p in procs]
+    print(f"2-process run exit codes: {rc} "
+          f"({'OK' if rc == [0, 0] else 'FAILED'})")
+
+
 if __name__ == "__main__":
-    main()
+    if "--multiprocess" in sys.argv:
+        main_multiprocess()
+    else:
+        main()
