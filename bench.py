@@ -28,6 +28,21 @@ import numpy as np
 
 EXT = {"rows": []}
 
+# TPU v5e (v5 lite) roofline anchors.  Peak MXU rate is ~197 TFLOP/s in
+# bf16; the solver pins full-f32 accumulation ("highest" matmul
+# precision, ~3 bf16 passes + f32 accumulation), for which ~49 TFLOP/s
+# (peak/4) is the practical ceiling — both are reported so the fraction
+# is honest about the precision the solver actually runs at.  HBM
+# bandwidth is 819 GB/s.  These label every *_pct row below; on another
+# device kind the fractions are wrong and the device row says so.
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 4
+HBM_GBPS = 819e9
+
+
+def _pct(x):
+    return round(100.0 * x, 2)
+
 
 def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
@@ -134,45 +149,87 @@ def bench_batched_qp(jax, ct, device):
 
 @_section("batched_socp")
 def bench_batched_socp(jax, ct, device):
-    B, n, dsoc = 256, 32, 33
+    """SOC layouts ride the Woodbury diag+rank-1 Schur path (schur_lr) —
+    the per-iteration chain is latency-bound like the QP class, so the
+    B sweep shows the amortization; the headline row keeps B=256 for
+    round-over-round continuity."""
+    n, dsoc = 32, 33
     rng = np.random.default_rng(1)
-    M = rng.normal(size=(B, n, n)) / np.sqrt(n)
-    P = np.einsum("bij,bkj->bik", M, M) + 0.5 * np.eye(n)
-    q = rng.normal(size=(B, n))
-    Asoc = np.zeros((dsoc, n)); Asoc[1:, :n] = -np.eye(dsoc - 1)[:, :n]
-    A = np.tile(np.vstack([np.eye(n), -np.eye(n), Asoc]), (B, 1, 1))
-    b = np.concatenate([np.ones(2 * n), [10.0], np.zeros(dsoc - 1)])
-    b = np.tile(b, (B, 1))
-    cones = [ct.NonnegativeConeT(2 * n), ct.SecondOrderConeT(dsoc)]
-    settings = ct.DefaultSettings.for_float32(verbose=False)
-    batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32",
-                           device=device)
-    sol = batch.solve()
-    n_ok = int(sum(1 for s in sol.statuses() if s == ct.SolverStatus.Solved))
-    t_batch, _ = _time_batch_solver(batch, reps=5)
-    _row("batched_socp_throughput", round(B / t_batch, 2), "problems/s",
-         B=B, n=n, m=2 * n + dsoc, solved=f"{n_ok}/{B}",
-         t_batch_ms=round(t_batch * 1e3, 1))
+    results = {}
+    for B in (256, 1024):
+        M = rng.normal(size=(B, n, n)) / np.sqrt(n)
+        P = np.einsum("bij,bkj->bik", M, M) + 0.5 * np.eye(n)
+        q = rng.normal(size=(B, n))
+        Asoc = np.zeros((dsoc, n)); Asoc[1:, :n] = -np.eye(dsoc - 1)[:, :n]
+        A = np.tile(np.vstack([np.eye(n), -np.eye(n), Asoc]), (B, 1, 1))
+        b = np.concatenate([np.ones(2 * n), [10.0], np.zeros(dsoc - 1)])
+        b = np.tile(b, (B, 1))
+        cones = [ct.NonnegativeConeT(2 * n), ct.SecondOrderConeT(dsoc)]
+        settings = ct.DefaultSettings.for_float32(verbose=False)
+        batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32",
+                               device=device)
+        sol = batch.solve()
+        n_ok = int(sum(1 for s in sol.statuses()
+                       if s == ct.SolverStatus.Solved))
+        t_batch, _ = _time_batch_solver(batch, reps=5)
+        results[B] = (B / t_batch, t_batch, n_ok)
+        suffix = "" if B == 256 else f"_B{B}"
+        _row(f"batched_socp_throughput{suffix}", round(B / t_batch, 2),
+             "problems/s", B=B, n=n, m=2 * n + dsoc,
+             solved=f"{n_ok}/{B}", t_batch_ms=round(t_batch * 1e3, 1))
+
+
+def _svec(Mat):
+    """Upper-triangle svec with sqrt(2)-scaled off-diagonals (column
+    order), matching cones/psd.py."""
+    d = Mat.shape[-1]
+    out = []
+    for col in range(d):
+        for row in range(col + 1):
+            v = Mat[..., row, col]
+            out.append(v if row == col else v * np.sqrt(2.0))
+    return np.stack(out, axis=-1)
 
 
 @_section("batched_sdp")
 def bench_batched_sdp(jax, ct, device):
+    """Strictly-complementary instances built from a known primal-dual
+    optimal pair (pick interior x*, complementary s* ⊥ z*, then
+    b := A x* + s*, q := -(P x* + Aᵀ z*)).  The previous random-q
+    generator produced 2/64 degenerate lanes that land AlmostSolved even
+    at f64/1e-8 (r3 bench note) — that measured instance degeneracy, not
+    solver throughput."""
     B, n, dmat = 64, 16, 4
     tri = dmat * (dmat + 1) // 2
     rng = np.random.default_rng(2)
     M = rng.normal(size=(B, n, n)) / np.sqrt(n)
     P = np.einsum("bij,bkj->bik", M, M) + 0.5 * np.eye(n)
-    q = rng.normal(size=(B, n))
     Apsd = np.zeros((tri, n)); Apsd[:tri, :min(tri, n)] = -np.eye(tri)[:, :min(tri, n)]
     A = np.tile(np.vstack([np.eye(n), -np.eye(n), Apsd]), (B, 1, 1))
-    # b_psd = svec of 2*I (strictly feasible interior)
-    bpsd = np.zeros(tri); k = 0
-    for col in range(dmat):
-        for row in range(col + 1):
-            if row == col:
-                bpsd[k] = 2.0
-            k += 1
-    b = np.tile(np.concatenate([np.ones(2 * n), bpsd]), (B, 1))
+
+    x_star = 0.5 * rng.normal(size=(B, n))
+    # NN rows: strict complementarity — active quarter carries z > 0
+    m_nn = 2 * n
+    s_nn = rng.uniform(0.5, 1.5, (B, m_nn))
+    z_nn = np.zeros((B, m_nn))
+    act = rng.uniform(size=(B, m_nn)) < 0.25
+    z_nn[act] = rng.uniform(0.5, 1.5, act.sum())
+    s_nn[act] = 0.0
+    # PSD block: s* and z* PSD on orthogonal complements
+    G = rng.normal(size=(B, dmat, dmat))
+    Qo, _ = np.linalg.qr(G)
+    k = dmat // 2
+    ls = rng.uniform(0.5, 1.5, (B, k))
+    lz = rng.uniform(0.5, 1.5, (B, dmat - k))
+    S = np.einsum("bik,bk,bjk->bij", Qo[:, :, :k], ls, Qo[:, :, :k])
+    Z = np.einsum("bik,bk,bjk->bij", Qo[:, :, k:], lz, Qo[:, :, k:])
+    s_star = np.concatenate([s_nn, _svec(S)], axis=1)
+    z_star = np.concatenate([z_nn, _svec(Z)], axis=1)
+
+    b = np.einsum("bmn,bn->bm", A, x_star) + s_star
+    q = -(np.einsum("bij,bj->bi", P, x_star)
+          + np.einsum("bmn,bm->bn", A, z_star))
+
     cones = [ct.NonnegativeConeT(2 * n), ct.PSDTriangleConeT(dmat)]
     settings = ct.DefaultSettings.for_float32(verbose=False)
     batch = ct.BatchSolver(P, q, A, b, cones, settings, dtype="float32",
@@ -226,8 +283,11 @@ def bench_pallas_ldl(jax, ct, device):
             times.append(time.perf_counter() - t0)
         t = min(times)
         flops = B * (N**3 / 3.0)
+        rate = flops / t
         _row(f"pallas_ldl_factor_solve_N{N}", round(t / B * 1e6, 1),
-             "us/instance", B=B, achieved_gflops=round(flops / t / 1e9, 1))
+             "us/instance", B=B, achieved_gflops=round(rate / 1e9, 1),
+             pct_peak_f32=_pct(rate / PEAK_F32_FLOPS),
+             pct_peak_bf16=_pct(rate / PEAK_BF16_FLOPS))
 
 
 @_section("sparse_multifrontal")
@@ -255,11 +315,24 @@ def bench_sparse_mf(jax, ct, device):
     sol = solver.solve()
     t_solve = time.perf_counter() - t0
     iters = max(sol.iterations, 1)
-    _row("sparse_mf_per_iteration", round(t_solve / (iters + 1) * 1e3, 2),
-         "ms/iter", N=solver._skkt.N, nnzL=solver._skkt.plan.nnzL,
-         levels=len(solver._skkt.plan.levels), iters=int(sol.iterations),
+    t_iter = t_solve / (iters + 1)
+    # HBM roofline context: minimal per-iteration traffic is the factor
+    # written once (nnzL f32) + read back by 3 refined solves x 2
+    # triangular sweeps each, ~8x nnzL x 4B total.  pct_hbm_roofline is
+    # the fraction of the iteration justified by data movement alone —
+    # the remainder is op-dispatch latency (the documented bound).
+    nnzL = int(solver._skkt.plan.nnzL)
+    traffic = 8.0 * nnzL * 4.0
+    t_roof = traffic / HBM_GBPS
+    n_buckets = sum(len(l) for l in solver._skkt.plan.levels)
+    _row("sparse_mf_per_iteration", round(t_iter * 1e3, 2),
+         "ms/iter", N=solver._skkt.N, nnzL=nnzL,
+         levels=len(solver._skkt.plan.levels), buckets=n_buckets,
+         iters=int(sol.iterations),
          status=sol.status.name, solve_ms=round(t_solve * 1e3, 1),
-         symbolic_setup_s=round(t_setup, 2))
+         symbolic_setup_s=round(t_setup, 2),
+         hbm_roofline_ms=round(t_roof * 1e3, 3),
+         pct_hbm_roofline=_pct(t_roof / t_iter))
 
 
 @_section("batched_sparse_qp")
@@ -328,7 +401,12 @@ def bench_dense_lu(jax, ct, device):
             t0 = time.perf_counter()
             f(Kd, rhs).block_until_ready()
             times.append(time.perf_counter() - t0)
-        _row(f"dense_lu_factor_solve_N{N}", round(min(times) * 1e3, 2), "ms")
+        t = min(times)
+        rate = (2.0 / 3.0) * N**3 / t
+        _row(f"dense_lu_factor_solve_N{N}", round(t * 1e3, 2), "ms",
+             achieved_gflops=round(rate / 1e9, 1),
+             pct_peak_f32=_pct(rate / PEAK_F32_FLOPS),
+             pct_peak_bf16=_pct(rate / PEAK_BF16_FLOPS))
 
 
 def main():
