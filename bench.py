@@ -198,7 +198,19 @@ def bench_batched_sdp(jax, ct, device):
     b := A x* + s*, q := -(P x* + Aᵀ z*)).  The previous random-q
     generator produced 2/64 degenerate lanes that land AlmostSolved even
     at f64/1e-8 (r3 bench note) — that measured instance degeneracy, not
-    solver throughput."""
+    solver throughput.
+
+    Instance-distribution note (r4 -> r5): this generator is HARDER than
+    r3's random-q one — every lane is strictly complementary, so the NT
+    scaling's eigenvalues split to [~μ, ~1/μ] and the KKT condition
+    reaches 1/μ ~ 1e7 at the f32 targets.  r4 shipped 48/64 at 531/s on
+    it (16 lanes stalled just above tolerance on f32 rounding).  r5's
+    mixed-precision step pipeline (kkt/compensated.py: double-float
+    refinement residuals + solution carrying, Jacobi-equilibrated LU,
+    K-consistent Δs recovery, df PSD cone products) removes those stalls;
+    all 64 instances solve at f64, and the f32 preset solves 62-64/64
+    depending on batched-kernel rounding (the 0-2 stragglers sit within
+    3x of every tolerance)."""
     B, n, dmat = 64, 16, 4
     tri = dmat * (dmat + 1) // 2
     rng = np.random.default_rng(2)

@@ -228,13 +228,22 @@ def update_scaling(layout: ConeLayout, state, s, z, mu, strategy):
     return state, ok
 
 
-def hs_dense(layout: ConeLayout, state, dtype):
+def hs_dense(layout: ConeLayout, state, dtype, want_lo=False):
     """Dense [m, m] block-diagonal scaling matrix Hs for KKT assembly.
 
     Hs = WᵀW for symmetric cones, μH(z) (or the primal-dual variant) for
     nonsymmetric cones.  reference: per-cone ``get_Hs``.
+
+    With ``want_lo`` (f32 PSD layouts), returns (H, H_lo) with the PSD
+    blocks' double-float rounding remainder in H_lo; otherwise returns
+    (H, None).
     """
     H = jnp.zeros((layout.m, layout.m), dtype)
+    H_lo = (
+        jnp.zeros((layout.m, layout.m), dtype)
+        if (want_lo and layout.num_psd and jnp.dtype(dtype) == jnp.float32)
+        else None
+    )
 
     if layout.n_nn:
         sl = layout.slice_of(api.NONNEGATIVE)
@@ -265,9 +274,9 @@ def hs_dense(layout: ConeLayout, state, dtype):
     if layout.num_psd:
         from . import psd as _psd
 
-        H = _psd.hs_dense(layout, state, H)
+        H, H_lo = _psd.hs_dense(layout, state, H, H_lo)
 
-    return H
+    return H, H_lo
 
 
 def mul_hs(layout: ConeLayout, state, x):
@@ -299,6 +308,98 @@ def mul_hs(layout: ConeLayout, state, x):
         y = _psd.mul_hs(layout, state, x, y)
 
     return y
+
+
+def mul_hs_df(layout: ConeLayout, state, x, x_lo=None):
+    """y = Hs (x + x_lo) as a double-float (hi, lo) pair.
+
+    Near convergence the elementwise magnitude |Hs·x|_i dwarfs the Δs it
+    feeds (Δs = -(HsΔz + c) is a cancellation), so the f32 rounding of
+    the product — eps·|Hs·x|_i absolute — dominates the step's primal
+    consistency.  Keeping the product's rounding remainder in a lo
+    stream until after the cancellation removes it.  PSD buckets reuse
+    the double-float congruence path; NN uses an exact TwoProd; other
+    cones fall back to the plain product (their hi image) with only the
+    x_lo image compensated.
+    """
+    from ..kkt import compensated as dfc
+    from . import psd as _psd
+
+    hi = jnp.zeros_like(x)
+    lo = jnp.zeros_like(x)
+
+    if layout.n_nn:
+        sl = layout.slice_of(api.NONNEGATIVE)
+        w2 = state["nn_w"] ** 2
+        ph, pe = dfc._two_prod(w2, x[sl])
+        if x_lo is not None:
+            pe = pe + w2 * x_lo[sl]
+        hi = hi.at[sl].set(ph)
+        lo = lo.at[sl].set(pe)
+
+    rest = jnp.zeros_like(x)
+    if layout.n_nn:
+        # zero out the NN slice so the generic paths below don't re-add it
+        mask = jnp.zeros(layout.m, bool).at[layout.slice_of(api.NONNEGATIVE)].set(True)
+        xr = jnp.where(mask, 0.0, x)
+        xr_lo = None if x_lo is None else jnp.where(mask, 0.0, x_lo)
+    else:
+        xr, xr_lo = x, x_lo
+
+    if layout.num_soc or layout.num_exp or layout.num_pow or layout.num_genpow:
+        img = mul_hs(layout, state, xr)
+        if layout.num_psd:
+            sl = layout.slice_of(api.PSD)
+            img = img.at[sl].set(0.0)
+        hi = hi + img
+        if xr_lo is not None:
+            img_lo = mul_hs(layout, state, xr_lo)
+            if layout.num_psd:
+                img_lo = img_lo.at[layout.slice_of(api.PSD)].set(0.0)
+            lo = lo + img_lo
+
+    if layout.num_psd:
+        sl = layout.slice_of(api.PSD)
+        out_h = jnp.zeros(layout.m_psd, x.dtype)
+        out_l = jnp.zeros(layout.m_psd, x.dtype)
+        for bi, b in enumerate(layout.psd_buckets):
+            R = state[f"psd{bi}_R"]
+            if f"psd{bi}_skron" in state:
+                # apply the SAME skron blocks stored in the solved K
+                # (psd.hs_dense stash) with a compensated matvec —
+                # consistency with the KKT system by construction
+                Sh, Sl = state[f"psd{bi}_skron"]
+                xv = x[sl][b.gather]
+                p, e = dfc._two_prod(Sh, xv[:, None, :])
+                e = e + Sl * xv[:, None, :]
+                if x_lo is not None:
+                    xlv = x_lo[sl][b.gather]
+                    e = e + Sh * xlv[:, None, :]
+                vh, vl = dfc._df_reduce_last(p, e)
+                out_h = out_h.at[b.gather].set(vh)
+                out_l = out_l.at[b.gather].set(vl)
+            elif _psd._use_df(b, x.dtype):
+                X, Xl = _psd._to_mat_df(
+                    b, x[sl][b.gather],
+                    None if x_lo is None else x_lo[sl][b.gather],
+                )
+                Yh, Yl = _psd._df_axa(R, X, Xl)
+                vh, vl = _psd._to_svec_df(b, Yh, Yl)
+                out_h = out_h.at[b.gather].set(vh)
+                out_l = out_l.at[b.gather].set(vl)
+            else:
+                X = _psd._to_mat(b, x[sl][b.gather])
+                A = jnp.einsum("kij,klj->kil", R, R)
+                Y = jnp.einsum("kij,kjl,kml->kim", A, X, A)
+                out_h = out_h.at[b.gather].set(_psd._to_svec(b, Y))
+                if x_lo is not None:
+                    Xl = _psd._to_mat(b, x_lo[sl][b.gather])
+                    Yl = jnp.einsum("kij,kjl,kml->kim", A, Xl, A)
+                    out_l = out_l.at[b.gather].set(_psd._to_svec(b, Yl))
+        hi = hi.at[sl].add(out_h)
+        lo = lo.at[sl].add(out_l)
+
+    return hi, lo
 
 
 def affine_ds(layout: ConeLayout, state, s):

@@ -54,6 +54,52 @@ def _diag_positions(bucket: PSDBucket):
     return np.nonzero(bucket.is_diag)[0]
 
 
+def _to_mat_df(bucket: PSDBucket, x, x_lo=None):
+    """Double-float svec→mat: the plain `_to_mat` rounds x/√2 at eps,
+    and a congruence with ‖A‖² ~ ‖Hs‖ amplifies that relative input
+    perturbation by the scaling's condition number — inconsistent with
+    the KKT matrix, whose skron entries absorb the √2 factors exactly.
+    Returns (M_hi, M_lo)."""
+    from ..kkt import compensated as dfc
+
+    vh, ve = dfc._two_prod(x, bucket.unpack_scale)
+    if x_lo is not None:
+        ve = ve + x_lo * bucket.unpack_scale
+    k = x.shape[0]
+
+    def build(vals, diag_vals):
+        M = jnp.zeros((k, bucket.n, bucket.n), x.dtype)
+        M = M.at[:, bucket.I, bucket.J].set(vals)
+        M = M.at[:, bucket.J, bucket.I].set(vals)
+        M = M.at[:, np.arange(bucket.n), np.arange(bucket.n)].set(diag_vals)
+        return M
+
+    Mh = build(vh, x[:, bucket.is_diag])
+    Ml = build(
+        ve,
+        (x_lo[:, bucket.is_diag] if x_lo is not None
+         else jnp.zeros((k, bucket.n), x.dtype)),
+    )
+    return Mh, Ml
+
+
+def _to_svec_df(bucket: PSDBucket, Yh, Yl):
+    """Double-float svec of a double-float matrix: the plain `_to_svec`
+    rounds (up+lo)/√2 to f32 — an eps·|Y| absolute loss that would undo
+    the compensated product chain feeding it.  Returns (hi, lo)."""
+    from ..kkt import compensated as dfc
+
+    I, J = bucket.I, bucket.J
+    uph, loh = Yh[:, I, J], Yh[:, J, I]
+    s, e = dfc._two_sum(uph, loh)
+    f = jnp.asarray(1.0 / np.sqrt(2.0), Yh.dtype)
+    ph, pe = dfc._two_prod(s, f)
+    low = (Yl[:, I, J] + Yl[:, J, I]) * f + e * f + pe
+    hi = jnp.where(bucket.is_diag, uph, ph)
+    lo = jnp.where(bucket.is_diag, Yl[:, I, J], low)
+    return hi, lo
+
+
 # -----------------------------------------------------------------
 # composite hooks
 # -----------------------------------------------------------------
@@ -120,17 +166,89 @@ def _skron(bucket: PSDBucket, A):
     return (term1 + term2) * (f[:, None] * f[None, :])
 
 
-def hs_dense(layout: ConeLayout, state, H):
-    """Hs = skron(RRᵀ) per cone (psdtrianglecone.rs:190-204)."""
+def _skron_df(bucket: PSDBucket, Ah, Al):
+    """skron of a double-float A: returns (hi, lo) [k, tri, tri] blocks."""
+    from ..kkt import compensated as dfc
+
+    I, J = bucket.I, bucket.J
+    f = jnp.asarray(
+        np.where(bucket.is_diag, 1.0 / np.sqrt(2.0), 1.0), Ah.dtype
+    )
+
+    def _pick(M, a, b_):
+        return M[:, a[:, None], b_[None, :]]
+
+    def _df_prod(xh, xl, yh, yl):
+        ph, pe = dfc._two_prod(xh, yh)
+        return ph, pe + xh * yl + xl * yh
+
+    t1h, t1l = _df_prod(
+        _pick(Ah, I, I), _pick(Al, I, I), _pick(Ah, J, J), _pick(Al, J, J)
+    )
+    t2h, t2l = _df_prod(
+        _pick(Ah, I, J), _pick(Al, I, J), _pick(Ah, J, I), _pick(Al, J, I)
+    )
+    sh, se = dfc._two_sum(t1h, t2h)
+    slo = t1l + t2l + se
+    ff = f[:, None] * f[None, :]
+    ph, pe = dfc._two_prod(sh, ff)
+    return ph, pe + slo * ff
+
+
+def hs_dense(layout: ConeLayout, state, H, H_lo=None):
+    """Hs = skron(RRᵀ) per cone (psdtrianglecone.rs:190-204).
+
+    With ``H_lo`` given (f32 mixed-precision KKT), the skron blocks are
+    evaluated in double-float and the rounding remainder lands in
+    ``H_lo`` — the KKT refinement loop then refines against the hi+lo
+    pair, so the solved Δz is consistent to ~eps² with the exact NT
+    scaling geometry used by the Δs recovery and step-length checks."""
     sl = _psd_slice(layout)
     for bi, b in enumerate(layout.psd_buckets):
         R = state[f"psd{bi}_R"]
-        A = jnp.einsum("kij,klj->kil", R, R)  # R Rᵀ
-        blocks = _skron(b, A)
         rows = sl.start + b.gather[:, :, None]
         cols = sl.start + b.gather[:, None, :]
-        H = H.at[rows, cols].set(blocks)
-    return H
+        if H_lo is not None and _use_df(b, H.dtype):
+            from ..kkt import compensated as dfc
+
+            Ah, Al = dfc.df_matmul(R, jnp.swapaxes(R, -1, -2))
+            bh, bl = _skron_df(b, Ah, Al)
+            H = H.at[rows, cols].set(bh)
+            H_lo = H_lo.at[rows, cols].set(bl)
+            # stash the exact blocks: mul_hs_df applies THESE via a
+            # compensated matvec, so the Δs recovery is consistent with
+            # the solved K by construction — two independently-rounded
+            # evaluations of skron (different 1/√2 constant placements)
+            # differ at eps·‖Hs‖, which near μ→0 is the whole error
+            # budget.  The dict is iteration-local (rebuilt every
+            # update_scaling), so this never leaks across steps.
+            state[f"psd{bi}_skron"] = (bh, bl)
+        else:
+            A = jnp.einsum("kij,klj->kil", R, R)  # R Rᵀ
+            H = H.at[rows, cols].set(_skron(b, A))
+    return H, H_lo
+
+
+# double-float A·X·A is O(k n^4) memory for the exact-product tensors;
+# past this matrix dimension fall back to plain f32 einsums
+_DF_AXA_MAX_N = 32
+
+
+def _df_axa(R, X, Xl=None):
+    """A·mat(x)·A with A = RRᵀ, evaluated in double-float.
+
+    Near convergence ‖Hs‖ ~ 1/μ, so the plain-f32 product's rounding
+    error O(eps·‖A‖²·‖X‖) ≈ eps/μ·‖X‖ reaches ~1e-4 relative — it lands
+    directly in Δs and from there in the primal residual.  Error-free
+    product splitting + compensated reduction (kkt/compensated.py) keep
+    the product accurate to ~eps² while staying pure-f32 vector ops.
+    ``Xl`` optionally carries X's lo stream.  Returns (Y_hi, Y_lo)."""
+    from ..kkt import compensated as dfc
+
+    Rt = jnp.swapaxes(R, -1, -2)
+    Ah, Al = dfc.df_matmul(R, Rt)
+    Th, Tl = dfc.df_matmul_df(Ah, Al, X, jnp.zeros_like(X) if Xl is None else Xl)
+    return dfc.df_matmul_df(Th, Tl, Ah, Al)
 
 
 def mul_hs(layout: ConeLayout, state, x, y):
@@ -140,10 +258,15 @@ def mul_hs(layout: ConeLayout, state, x, y):
     out = jnp.zeros_like(xi)
     for bi, b in enumerate(layout.psd_buckets):
         R = state[f"psd{bi}_R"]
-        A = jnp.einsum("kij,klj->kil", R, R)
         X = _to_mat(b, xi[b.gather])
-        Y = jnp.einsum("kij,kjl,kml->kim", A, X, A)
-        out = out.at[b.gather].set(_to_svec(b, Y))
+        if x.dtype == jnp.float32 and b.n <= _DF_AXA_MAX_N:
+            Yh, Yl = _df_axa(R, X)
+            v = _to_svec(b, Yh) + _to_svec(b, Yl)
+        else:
+            A = jnp.einsum("kij,klj->kil", R, R)
+            Y = jnp.einsum("kij,kjl,kml->kim", A, X, A)
+            v = _to_svec(b, Y)
+        out = out.at[b.gather].set(v)
     return y.at[sl].set(out)
 
 
@@ -169,6 +292,28 @@ def _mul_w(bucket, R, x, transpose: bool):
     return _to_svec(bucket, Y)
 
 
+def _use_df(bucket, dtype):
+    return jnp.dtype(dtype) == jnp.float32 and bucket.n <= _DF_AXA_MAX_N
+
+
+def _mul_w_mat_df(R, X_mat, transpose: bool, Xl=None):
+    """Congruence W-product on matrix operands in double-float.
+
+    N: Y = Rᵀ X R ;  T: Y = R X Rᵀ.  ``Xl`` optionally carries a lo part
+    of a double-float X.  Returns (Y_hi, Y_lo): the rounding error of the
+    fused product chain is ~eps²·norms instead of eps·‖R‖²·‖X‖ — the
+    latter is the f32 noise floor that stalls PSD lanes near μ → 0."""
+    from ..kkt import compensated as dfc
+
+    Rt = jnp.swapaxes(R, -1, -2)
+    L, Rr = (R, Rt) if transpose else (Rt, R)
+    if Xl is None:
+        Th, Tl = dfc.df_matmul(L, X_mat)
+    else:
+        Th, Tl = dfc.df_matmul_df(L, jnp.zeros_like(L), X_mat, Xl)
+    return dfc.df_matmul_df(Th, Tl, Rr, jnp.zeros_like(Rr))
+
+
 def combined_ds_shift(layout: ConeLayout, state, shift, step_z, step_s, sigma_mu):
     """W⁻¹Δs ∘ WΔz − σμe (symmetric_common.rs:53-84)."""
     sl = _psd_slice(layout)
@@ -176,12 +321,25 @@ def combined_ds_shift(layout: ConeLayout, state, shift, step_z, step_s, sigma_mu
     for bi, b in enumerate(layout.psd_buckets):
         R = state[f"psd{bi}_R"]
         Rinv = state[f"psd{bi}_Rinv"]
-        wz = _mul_w(b, R, step_z[sl][b.gather], transpose=False)
-        # W^{-T} on svec: Y = Rinv X Rinvᵀ
-        wis = _mul_w(b, Rinv, step_s[sl][b.gather], transpose=True)
-        Y = _to_mat(b, wis)
-        Z = _to_mat(b, wz)
-        circ = 0.5 * (jnp.einsum("kij,kjl->kil", Y, Z) + jnp.einsum("kij,kjl->kil", Z, Y))
+        Zm = _to_mat(b, step_z[sl][b.gather])
+        Sm = _to_mat(b, step_s[sl][b.gather])
+        if _use_df(b, shift.dtype):
+            from ..kkt import compensated as dfc
+
+            Zh, Zl = _mul_w_mat_df(R, Zm, transpose=False)
+            Yh, Yl = _mul_w_mat_df(Rinv, Sm, transpose=True)
+            c1h, c1l = dfc.df_matmul_df(Yh, Yl, Zh, Zl)
+            c2h, c2l = dfc.df_matmul_df(Zh, Zl, Yh, Yl)
+            circ = 0.5 * ((c1h + c2h) + (c1l + c2l))
+        else:
+            wz = _to_svec(b, jnp.einsum("kji,kjl,klm->kim", R, Zm, R))
+            wis = _to_svec(b, jnp.einsum("kij,kjl,kml->kim", Rinv, Sm, Rinv))
+            Y = _to_mat(b, wis)
+            Z = _to_mat(b, wz)
+            circ = 0.5 * (
+                jnp.einsum("kij,kjl->kil", Y, Z)
+                + jnp.einsum("kij,kjl->kil", Z, Y)
+            )
         v = _to_svec(b, circ)
         v = v.at[:, _diag_positions(b)].add(-sigma_mu)
         out = out.at[b.gather].set(v)
@@ -198,7 +356,11 @@ def ds_from_dz_offset(layout: ConeLayout, state, out_full, ds):
         Z = _to_mat(b, ds[sl][b.gather])
         lam_sum = lam[:, :, None] + lam[:, None, :]
         X = 2.0 * Z / lam_sum
-        v = _mul_w(b, R, _to_svec(b, X), transpose=True)
+        if _use_df(b, ds.dtype):
+            Yh, Yl = _mul_w_mat_df(R, X, transpose=True)
+            v = _to_svec(b, Yh) + _to_svec(b, Yl)
+        else:
+            v = _mul_w(b, R, _to_svec(b, X), transpose=True)
         out = out.at[b.gather].set(v)
     return out_full.at[sl].set(out)
 
@@ -213,9 +375,18 @@ def step_length(layout: ConeLayout, state, dz, ds, z, s, alpha, big):
         lam_isqrt = 1.0 / jnp.sqrt(state[f"psd{bi}_lam"])
 
         for (dv, Rx, transpose) in ((dz, R, False), (ds, Rinv, True)):
-            d = _mul_w(b, Rx, dv[sl][b.gather], transpose=transpose)
-            M = _to_mat(b, d)
-            M = lam_isqrt[:, :, None] * M * lam_isqrt[:, None, :]
+            if _use_df(b, dz.dtype):
+                Dm = _to_mat(b, dv[sl][b.gather])
+                Mh, Ml = _mul_w_mat_df(Rx, Dm, transpose=transpose)
+                scale = lam_isqrt[:, :, None] * lam_isqrt[:, None, :]
+                M = Mh * scale + Ml * scale
+                # symmetrize: the W-product is symmetric in exact
+                # arithmetic; eigvalsh reads only one triangle otherwise
+                M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
+            else:
+                d = _mul_w(b, Rx, dv[sl][b.gather], transpose=transpose)
+                M = _to_mat(b, d)
+                M = lam_isqrt[:, :, None] * M * lam_isqrt[:, None, :]
             gamma = jnp.min(jnp.linalg.eigvalsh(M), axis=-1)
             lim = jnp.where(gamma < 0, -1.0 / jnp.where(gamma < 0, gamma, -1.0), big)
             alpha = jnp.minimum(alpha, jnp.min(lim, initial=big))

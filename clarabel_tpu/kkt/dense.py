@@ -59,6 +59,29 @@ def factor(K_reg):
     return ("lu", (lu, piv)), ok
 
 
+def factor_jacobi(K_reg, settings, n):
+    """f32 LU on the Jacobi-equilibrated regularized KKT.
+
+    Near convergence ‖K‖ grows like the largest NT weight (~1/μ); once
+    eps32·‖K‖ ≳ 1 the refinement loop's contraction factor
+    ‖K_reg⁻¹‖·eps·‖K‖ exceeds one and refinement diverges on rhs with
+    soft-mode content (observed: the constant-term solve [−q; b]
+    residual jumping 1e-12 → 1e-2 in the final iterations).  Factoring
+    D·K_reg·D (D = |diag K_reg|^(-1/2)) bounds the scaled norm at O(1)
+    so the per-sweep contraction stays ~eps·cond(D·K·D).  The reference
+    needs no equivalent because f64 keeps eps·‖K‖ ≪ 1 through
+    convergence (directldlkktsolver.rs:217-264).
+    """
+    del n, settings
+    K = K_reg
+    diag = jnp.abs(jnp.diagonal(K))
+    d = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    Ks = K * d[:, None] * d[None, :]
+    lu, piv = jsl.lu_factor(Ks)
+    ok = jnp.all(jnp.isfinite(lu))
+    return ("lu_jacobi", (lu, piv, d)), ok
+
+
 def factor_schur(K_reg, n):
     """Schur-complement factorization of the regularized quasidefinite KKT.
 
@@ -298,6 +321,10 @@ def _raw_solve(factors, rhs):
     kind, data = factors
     if kind == "lu":
         return jsl.lu_solve(data, rhs)
+    if kind == "lu_jacobi":
+        lu, piv, d = data
+        ds = d if rhs.ndim == 1 else d[:, None]
+        return ds * jsl.lu_solve((lu, piv), ds * rhs)
     if kind == "schur_diag_sh":
         hinv, LS, at_v, a_v, n = data
         b1, b2 = rhs[:n], rhs[n:]
@@ -347,51 +374,118 @@ def _raw_solve(factors, rhs):
     return jnp.concatenate([x1, x2])
 
 
-def solve_refined(factors, K_true, rhs, settings):
+def solve_refined(factors, K_true, rhs, settings, want_lo=False):
     """Solve K x = rhs with iterative refinement against the true
     (unregularized) KKT matrix.
 
     ``K_true`` may be a dense matrix or a matvec callable (structured
-    paths).  Returns (x, ok).  reference: directldlkktsolver.rs:266-321 —
-    bounded refinement loop with stall detection as ``lax.while_loop``.
+    paths).  Returns (x, ok), or ((x, x_lo), ok) with ``want_lo``: the
+    compensated path accumulates the solution as a double-float pair so
+    its refinement floor is not limited by the f32 representation of x —
+    x_lo carries the sub-eps remainder (zeros on uncompensated paths).
+    reference: directldlkktsolver.rs:266-321 — bounded refinement loop
+    with stall detection as ``lax.while_loop``.
     """
+    # K_true may be a double-float (hi, lo) pair (f32 PSD layouts): the lo
+    # part carries the Hs blocks' rounding remainder (loop._kkt_prepare)
+    K_lo = None
+    if isinstance(K_true, tuple):
+        K_true, K_lo = K_true
+
     x0 = _raw_solve(factors, rhs)
 
     if not settings.iterative_refinement_enable:
-        return x0, jnp.all(jnp.isfinite(x0))
+        ok = jnp.all(jnp.isfinite(x0))
+        return ((x0, None), ok) if want_lo else (x0, ok)
 
     reltol = settings.iterative_refinement_reltol
     abstol = settings.iterative_refinement_abstol
     maxiter = settings.iterative_refinement_max_iter
     stopratio = settings.iterative_refinement_stop_ratio
-    if factors[0] == "schur_lr":
-        # the Woodbury condensation leaves a larger one-pass error than a
-        # backward-stable pivoted LU (normal-equations conditioning), so
-        # drive refinement to the arithmetic floor instead of the preset
-        # target; the stall detector bounds the extra sweep count
+
+    # f32 + dense K: evaluate the refinement residual in double-float
+    # (kkt/compensated.py).  Plain-f32 residuals bound the step's forward
+    # error at O(eps32 * cond(K)) ~ 0.1 near convergence (cond ~ 1/mu);
+    # the compensated residual restores mixed-precision IR's forward
+    # convergence, so refinement is driven to the arithmetic floor and the
+    # stall detector bounds the sweep count.
+    compensate_dense = (
+        not callable(K_true)
+        and K_true.dtype == jnp.float32
+        and K_true.shape[-1] <= 4096
+    )
+    # sparse/structured closures advertise a compensated product as a
+    # ``.df`` attribute (kkt/sparse.py): same mixed-precision refinement,
+    # evaluated matrix-free
+    df_mv = getattr(K_true, "df", None) if callable(K_true) else None
+    compensate_sparse = df_mv is not None and rhs.dtype == jnp.float32
+    compensate = compensate_dense or compensate_sparse
+    if factors[0] == "schur_lr" or compensate:
+        # (schur_lr: the Woodbury condensation leaves a larger one-pass
+        # error than a backward-stable pivoted LU, so it also refines to
+        # the floor rather than the preset target)
         reltol = min(reltol, 1e-9)
         abstol = min(abstol, 1e-8)
+    if compensate:
+        # near μ → 0 the per-sweep contraction degrades toward 1; the
+        # default stall ratio (5x/sweep) would abandon a slowly but
+        # monotonically converging refinement exactly when the step
+        # accuracy matters most.  With the compensated residual each
+        # sweep is trustworthy, so keep refining while there is any
+        # monotone progress.
+        stopratio = min(stopratio, 1.05)
+        maxiter = max(maxiter, 25)
 
     normb = jnp.max(jnp.abs(rhs))
     k_matvec = K_true if callable(K_true) else (lambda v: K_true @ v)
 
-    def error_norm(x):
-        e = rhs - k_matvec(x)
-        return e, jnp.max(jnp.abs(e))
+    if compensate:
+        from . import compensated
 
-    e0, norme0 = error_norm(x0)
+        if compensate_sparse:
+            def error_norm(x, x_lo):
+                hi, lo = df_mv(x, x_lo)
+                d, derr = compensated._two_sum(rhs, -hi)
+                e = d + (derr - lo)
+                return e, jnp.max(jnp.abs(e))
+        else:
+            def error_norm(x, x_lo):
+                # residual against the double-float solution: the lo
+                # stream's contribution is eps-scaled, a plain matvec of
+                # it suffices
+                e = compensated.residual(K_true, x, rhs, K_lo=K_lo)
+                e = e - k_matvec(x_lo)
+                if K_lo is not None:
+                    e = e - K_lo @ x_lo
+                return e, jnp.max(jnp.abs(e))
+
+        def accumulate(x, x_lo, dx):
+            # TwoSum the correction into the double-float solution so the
+            # refinement floor is not capped by f32 representation of x
+            s, err = compensated._two_sum(x, dx)
+            return s, x_lo + err
+    else:
+        def error_norm(x, x_lo):
+            e = rhs - k_matvec(x)
+            return e, jnp.max(jnp.abs(e))
+
+        def accumulate(x, x_lo, dx):
+            return x + dx, x_lo
+
+    x_lo0 = jnp.zeros_like(x0)
+    e0, norme0 = error_norm(x0, x_lo0)
     ok0 = jnp.isfinite(norme0)
 
     def cond(carry):
-        _, _, norme, k, done, _ = carry
+        _, _, _, norme, k, done, _ = carry
         within_tol = norme <= (abstol + reltol * normb)
         return (~done) & (~within_tol) & (k < maxiter)
 
     def body(carry):
-        x, e, norme, k, done, ok = carry
+        x, x_lo, e, norme, k, done, ok = carry
         dx = _raw_solve(factors, e)
-        xnew = x + dx
-        enew, normenew = error_norm(xnew)
+        xnew, xnew_lo = accumulate(x, x_lo, dx)
+        enew, normenew = error_norm(xnew, xnew_lo)
         isfin = jnp.isfinite(normenew)
 
         improved_ratio = norme / normenew
@@ -401,13 +495,18 @@ def solve_refined(factors, K_true, rhs, settings):
         take_new = isfin & ((~stalled) | (improved_ratio > 1.0))
 
         x = jnp.where(take_new, xnew, x)
+        x_lo = jnp.where(take_new, xnew_lo, x_lo)
         e = jnp.where(take_new, enew, e)
         norme = jnp.where(take_new, normenew, norme)
         done = stalled | (~isfin)
         ok = ok & isfin
-        return x, e, norme, k + 1, done, ok
+        return x, x_lo, e, norme, k + 1, done, ok
 
-    x, _, _, _, _, ok = jax.lax.while_loop(
-        cond, body, (x0, e0, norme0, 0, jnp.asarray(False), ok0)
+    x, x_lo, _, _, _, _, ok = jax.lax.while_loop(
+        cond, body, (x0, x_lo0, e0, norme0, 0, jnp.asarray(False), ok0)
     )
-    return x, ok & jnp.all(jnp.isfinite(x))
+    ok = ok & jnp.all(jnp.isfinite(x))
+    if want_lo:
+        # None (static) on uncompensated paths so callers skip lo work
+        return (x, x_lo if compensate else None), ok
+    return x, ok

@@ -39,13 +39,14 @@ from . import mf_symbolic, multifrontal
 #: (reference: socone.rs:46 SOC_NO_EXPANSION_MAX_SIZE = 4)
 SOC_NO_EXPANSION_MAX_SIZE = 4
 
-#: f32 keeps small cones dense instead: the expansion's ±1 extension
-#: pivots and η²-scaled extension rows floor the primal residual near
-#: 1e-4 in f32 (measured; STATUS.md "Known f32 tier behavior"), while a
-#: dense d×d Hs block costs only d(d+1)/2 nonzeros — cheap up to a few
-#: hundred and numerically equivalent to the dense backends' path.
-#: Beyond the threshold the rank-2/3 expansion applies and such problems
-#: may land at the AlmostSolved (1e-4) tier in f32.
+#: f32 keeps small cones dense: a dense d×d Hs block costs only
+#: d(d+1)/2 nonzeros — cheap up to a few hundred and numerically
+#: identical to the dense backends' path.  Beyond the threshold the
+#: rank-2/3 expansion applies; since round 5 its η²-scaled extension
+#: rows are handled by the compensated refinement matvec + K-consistent
+#: Δs recovery (kkt/compensated.py, loop.kkt_solve_finish), so expanded
+#: problems reach full f32 tolerances (previously the "Known f32 tier"
+#: 1e-4 floor).
 SOC_NO_EXPANSION_MAX_SIZE_F32 = 256
 GENPOW_NO_EXPANSION_MAX_SIZE_F32 = 256
 
@@ -400,6 +401,41 @@ def sym_matvec(ctx: SparseKKT, data, Kvals, v):
     return y
 
 
+def sym_matvec_df(ctx: SparseKKT, data, Kvals, v, v_lo=None):
+    """Compensated y = K (v + v_lo) returning a double-float (hi, lo).
+
+    The expanded-cone extension rows are long cancelling sums of
+    η-scaled entries (datamaps.rs:199-221 semantics): a plain f32
+    segment sum floors their residual at eps·Σ|K||v| per row, which is
+    the "Known f32 tier" accuracy wall for rank-2/3 expansions.  Exact
+    products + limb-split segment sums (kkt/compensated.py:seg_sum_df)
+    remove that wall for the refinement residual.
+    """
+    from . import compensated as dfc
+
+    if v.ndim == 2:
+        f = lambda vc, vlc: sym_matvec_df(ctx, data, Kvals, vc, vlc)
+        vl = jnp.zeros_like(v) if v_lo is None else v_lo
+        return jax.vmap(f, in_axes=(1, 1), out_axes=1)(v, vl)
+
+    rows, cols = data["kkt:K_rows"], data["kkt:K_cols"]
+    ro = data["kkt:row_order"]
+    ssel = data["kkt:strict_sel"]
+
+    p1, e1 = dfc._two_prod(Kvals[ro], v[data["kkt:cols_of_sorted"]])
+    if v_lo is not None:
+        e1 = e1 + Kvals[ro] * v_lo[data["kkt:cols_of_sorted"]]
+    h1, l1 = dfc.seg_sum_df(p1, e1, data["kkt:rows_sorted"], ctx.N)
+
+    p2, e2 = dfc._two_prod(Kvals[ssel], v[rows[ssel]])
+    if v_lo is not None:
+        e2 = e2 + Kvals[ssel] * v_lo[rows[ssel]]
+    h2, l2 = dfc.seg_sum_df(p2, e2, cols[ssel], ctx.N)
+
+    hi, err = dfc._two_sum(h1, h2)
+    return hi, err + l1 + l2
+
+
 def make_matvec(ctx: SparseKKT, data, Kvals):
     """Returns v -> K v for iterative refinement, amortized for several
     products per assembled Kvals (the IPM does ~4 per iteration).
@@ -412,7 +448,11 @@ def make_matvec(ctx: SparseKKT, data, Kvals):
     """
     offs = ctx.dia_offsets
     if not offs:
-        return lambda v: sym_matvec(ctx, data, Kvals, v)
+        mv_seg = lambda v: sym_matvec(ctx, data, Kvals, v)
+        mv_seg.df = lambda v, v_lo=None: sym_matvec_df(
+            ctx, data, Kvals, v, v_lo
+        )
+        return mv_seg
 
     O = len(offs)
     N = ctx.N
@@ -425,6 +465,18 @@ def make_matvec(ctx: SparseKKT, data, Kvals):
         )
         .reshape(O, N)
     )
+    return _dia_mv(Kd, offs, N)
+
+
+def _dia_mv(Kd, offs, N):
+    """DIA product closure with a compensated ``.df`` variant attached.
+
+    The offset loop is a fixed small accumulation chain, so
+    TwoProd/TwoSum (kkt/compensated.py) carry its rounding exactly —
+    the ``.df`` form is what iterative refinement evaluates residuals
+    with on f32 sparse systems."""
+    from . import compensated as dfc
+
     lo = max(0, -min(offs))
     hi = max(0, max(offs))
 
@@ -440,6 +492,29 @@ def make_matvec(ctx: SparseKKT, data, Kvals):
             )
         return acc[:, 0] if single else acc
 
+    def mv_df(v, v_lo=None):
+        single = v.ndim == 1
+        if single:
+            v = v[:, None]
+            v_lo = None if v_lo is None else v_lo[:, None]
+        vp = jnp.pad(v, ((lo, hi), (0, 0)))
+        vlp = None if v_lo is None else jnp.pad(v_lo, ((lo, hi), (0, 0)))
+        acc_h = jnp.zeros_like(v)
+        acc_l = jnp.zeros_like(v)
+        for i, o in enumerate(offs):
+            sl = jax.lax.dynamic_slice_in_dim(vp, lo + o, N, 0)
+            p, e = dfc._two_prod(Kd[i][:, None], sl)
+            if vlp is not None:
+                e = e + Kd[i][:, None] * jax.lax.dynamic_slice_in_dim(
+                    vlp, lo + o, N, 0
+                )
+            acc_h, e2 = dfc._two_sum(acc_h, p)
+            acc_l = acc_l + e + e2
+        if single:
+            return acc_h[:, 0], acc_l[:, 0]
+        return acc_h, acc_l
+
+    mv.df = mv_df
     return mv
 
 
@@ -470,23 +545,7 @@ def make_matvec_sources(ctx: SparseKKT, P, A, hs_vals):
             lane = lane + jnp.pad(seg, (row0, N - row0 - seg.shape[0]))
         lanes.append(lane)
     Kd = jnp.stack(lanes)
-
-    lo = max(0, -min(offs))
-    hi = max(0, max(offs))
-
-    def mv(v):
-        single = v.ndim == 1
-        if single:
-            v = v[:, None]
-        vp = jnp.pad(v, ((lo, hi), (0, 0)))
-        acc = jnp.zeros_like(v)
-        for i, o in enumerate(offs):
-            acc = acc + Kd[i][:, None] * jax.lax.dynamic_slice_in_dim(
-                vp, lo + o, N, 0
-            )
-        return acc[:, 0] if single else acc
-
-    return mv
+    return _dia_mv(Kd, offs, N)
 
 
 def factor_fused(ctx: SparseKKT, data, P, A, hs_vals, exp_vals, settings,

@@ -91,6 +91,10 @@ class SolverState(NamedTuple):
     status: jax.Array
     scaling: jax.Array
 
+    # consecutive iterations the insufficient-progress condition held
+    # (f32: one noisy backwards step must not kill a converging lane)
+    ip_pending: jax.Array
+
     # per-iteration progress table [max_iter+1, 9]:
     # (pcost, dcost, gap_abs, gap_rel, pres, dres, k/t, μ, step)
     history: jax.Array
@@ -250,12 +254,19 @@ def check_termination(st: SolverState, settings, dtype):
             & (st.res_primal > st.prev_res_primal * 100.0)
         )
     )
-    insufficient = (
+    insufficient_now = (
         (status == _UNSOLVED)
         & (st.iterations > 1)
         & going_backwards
         & (poor_progress_hi | diverging)
     )
+    # f32: a single backwards residual step can be one noisy direction
+    # near μ → 0 rather than a genuine stall — require the condition to
+    # persist for two consecutive iterations before declaring
+    # InsufficientProgress.  f64 keeps the reference's immediate trigger
+    # (solver.rs:586-609): there a backwards step is never noise.
+    strikes = 2 if jnp.dtype(dtype) == jnp.float32 else 1
+    insufficient = insufficient_now & (st.ip_pending >= strikes - 1)
     status = jnp.where(insufficient, int(SolverStatus.InsufficientProgress), status)
 
     status = jnp.where(
@@ -263,7 +274,10 @@ def check_termination(st: SolverState, settings, dtype):
         int(SolverStatus.MaxIterations),
         status,
     )
-    return status
+    ip_pending = jnp.where(insufficient_now, st.ip_pending + 1, 0).astype(
+        jnp.int32
+    )
+    return status, ip_pending
 
 
 def calc_mu(layout, r: Residuals, tau, kappa):
@@ -321,14 +335,18 @@ def calc_step_length(layout, state, step, variables, settings, is_combined, scal
     return alpha
 
 
-def solve_kkt_refined(factors, K_true, rhs, settings):
+def solve_kkt_refined(factors, K_true, rhs, settings, want_lo=False,
+                      keep_ext=False):
     """Refined KKT solve, transparently lifting to the sparse-cone-expanded
     system when the multifrontal backend carries extension rows: the
     augmented system [K  E; Eᵀ D][x; y] = [rhs; 0] solves the original
     K_hs x = rhs exactly (reference: datamaps.rs expansion semantics).
 
     ``rhs`` may be [N] or [N, r] on the multifrontal backend (multi-RHS
-    solves share the levelized sweeps)."""
+    solves share the levelized sweeps).  ``keep_ext`` returns the
+    extension components instead of slicing them off — the step recovery
+    uses them for a K-consistent HₛΔz product (kkt_solve_finish).
+    """
     if factors[0] == "mf":
         ctx = factors[1][0]
         pad = ctx.N - rhs.shape[0]
@@ -336,9 +354,20 @@ def solve_kkt_refined(factors, K_true, rhs, settings):
             base = rhs.shape[0]
             zshape = (pad,) if rhs.ndim == 1 else (pad, rhs.shape[1])
             rhs = jnp.concatenate([rhs, jnp.zeros(zshape, rhs.dtype)])
-            sol, ok = kkt_dense.solve_refined(factors, K_true, rhs, settings)
-            return sol[:base], ok
-    return kkt_dense.solve_refined(factors, K_true, rhs, settings)
+            out, ok = kkt_dense.solve_refined(
+                factors, K_true, rhs, settings, want_lo=want_lo
+            )
+            if keep_ext:
+                return out, ok
+            if want_lo:
+                sol, sol_lo = out
+                return (
+                    (sol[:base], None if sol_lo is None else sol_lo[:base]),
+                    ok,
+                )
+            return out[:base], ok
+    return kkt_dense.solve_refined(factors, K_true, rhs, settings,
+                                   want_lo=want_lo)
 
 
 def kkt_solve_rhs(layout, scaling_state, rhs, variables, is_combined):
@@ -358,33 +387,116 @@ def kkt_solve_rhs(layout, scaling_state, rhs, variables, is_combined):
 
 
 def kkt_solve_finish(
-    layout, scaling_state, P, q, b, x2, z2, sol, ds_const, rhs, variables,
+    layout, scaling_state, P, q, A, b, x2, z2, sol, ds_const, rhs, variables,
+    K_true=None,
 ):
     """Recover the full direction from the reduced solve: Δτ closed form
-    with P-quadratic terms, then Δx/Δz/Δs/Δκ (kktsystem.rs:160-207)."""
+    with P-quadratic terms, then Δx/Δz/Δs/Δκ (kktsystem.rs:160-207).
+
+    On the sparse-expanded backend the z-parts of ``sol``/``z2`` may
+    carry the extension components (m + p long); Δz is recovered from
+    the first m entries and the extension tail feeds the K-consistent
+    HₛΔz product below.
+    """
     n = q.shape[0]
+    m = b.shape[0]
     x, s, z, tau, kappa = variables
     rx, rs, rz, rtau, rkappa = rhs
-    x1, z1 = sol[:n], sol[n:]
+    # sol / x2z2 may be double-float (hi, lo) pairs from the compensated
+    # refinement: the lo stream keeps Δz accurate past the f32
+    # representation floor, which matters only where Δz meets the stiff
+    # Hₛ (the Δs recovery below); everything else uses the hi parts.
+    sol, sol_lo = sol if isinstance(sol, tuple) else (sol, None)
+    if isinstance(x2, tuple):
+        (x2, x2_lo), (z2, z2_lo) = x2, z2
+    else:
+        x2_lo = z2_lo = None
+    x1, z1f = sol[:n], sol[n:]
 
     # Δτ (kktsystem.rs:168-190)
     xi = x / tau
-    tau_num = rtau - rkappa / tau + q @ x1 + b @ z1 + 2.0 * (xi @ (P @ x1))
+    tau_num = (
+        rtau - rkappa / tau + q @ x1 + b @ z1f[:m] + 2.0 * (xi @ (P @ x1))
+    )
     xi_m_x2 = xi - x2
     tau_den = (
         kappa / tau
         - q @ x2
-        - b @ z2
+        - b @ z2[:m]
         + xi_m_x2 @ (P @ xi_m_x2)
         - x2 @ (P @ x2)
     )
     dtau = tau_num / tau_den
 
     dx = x1 + dtau * x2
-    dz = z1 + dtau * z2
+    dzf = z1f + dtau * z2
 
-    # Δs = -(HₛΔz + c)  (kktsystem.rs:195-199)
-    ds = -(cone_ops.mul_hs(layout, scaling_state, dz) + ds_const)
+    dz_lo = None
+    if sol_lo is not None:
+        from .kkt import compensated as _dfc
+
+        # v1 + dtau·v2 is a catastrophic cancellation near convergence:
+        # the two homogeneous solutions grow ~1/σ_min(K) individually
+        # while their combination is the O(step)-sized direction, so the
+        # plain-f32 combination loses eps·‖v1‖ absolute — observed as
+        # ~1e-5 jumps in the primal/dual residuals per step.  TwoSum /
+        # TwoProd recover the cancelled bits; dz keeps its lo stream for
+        # the Hₛ product below, dx collapses to f32 (only well-scaled
+        # operators touch it afterwards).
+        ph, pe = _dfc._two_prod(dtau, z2)
+        dzf, e2 = _dfc._two_sum(z1f, ph)
+        dz_lo = sol_lo[n:] + pe + e2
+        if z2_lo is not None:
+            dz_lo = dz_lo + dtau * z2_lo
+
+        pxh, pxe = _dfc._two_prod(dtau, x2)
+        dx, ex = _dfc._two_sum(x1, pxh)
+        dx_lo = sol_lo[:n] + pxe + ex
+        if x2_lo is not None:
+            dx_lo = dx_lo + dtau * x2_lo
+        dx = dx + dx_lo
+
+    dz = dzf[:m]
+
+    # Δs = -(HₛΔz + c)  (kktsystem.rs:195-199).  Two f32 accuracy rules,
+    # both invisible at the reference's f64:
+    # - Δs must be recovered through Hₛ (not the algebraically equivalent
+    #   primal row AΔx + Δs − bΔτ = −rz): its rounding noise then lives
+    #   in the W-geometry and shrinks with the cone's small eigenvalues,
+    #   keeping s + αΔs feasible.  A primal-row Δs carries O(eps) flat
+    #   noise that dwarfs the ~μ boundary eigenvalues and collapses step
+    #   lengths.
+    # - the HₛΔz product must agree to better than eps·‖Hₛ‖ with the Hₛ
+    #   the refined solve saw, else the primal residual absorbs the
+    #   mismatch (ΔHₛ)Δz ~ eps/μ.  PSD mul_hs runs in double-float
+    #   (cones/psd.py) and the solve refines against the double-float
+    #   (K, K_lo) pair (loop._kkt_prepare); the sparse backend applies
+    #   the literally-assembled K (extension rows included) through its
+    #   compensated matvec.
+    df_mv = getattr(K_true, "df", None) if callable(K_true) else None
+    if dz_lo is not None:
+        from .kkt import compensated as _dfc2
+
+        if df_mv is not None:
+            # K-consistent route: the z-block rows of K_aug @ [0; Δz; Δy]
+            # are exactly −(HₛΔz) as the refined solve saw it, extension
+            # elimination included
+            zn = jnp.zeros(n, dzf.dtype)
+            hi, lo2 = df_mv(
+                jnp.concatenate([zn, dzf]), jnp.concatenate([zn, dz_lo])
+            )
+            hs_hi, hs_lo = -hi[n : n + m], -lo2[n : n + m]
+        else:
+            hs_hi, hs_lo = cone_ops.mul_hs_df(
+                layout, scaling_state, dz, dz_lo[:m]
+            )
+        # HₛΔz + c is itself a cancellation (|HₛΔz|_i >> |Δs|_i near the
+        # boundary): carry the product as a double-float pair and TwoSum
+        # through the cancellation before rounding
+        sh, se = _dfc2._two_sum(hs_hi, ds_const)
+        ds = -(sh + (se + hs_lo))
+    else:
+        ds = -(cone_ops.mul_hs(layout, scaling_state, dz) + ds_const)
 
     # Δκ (kktsystem.rs:202-203)
     dkappa = -(rkappa + kappa * dtau) / tau
@@ -404,9 +516,11 @@ def kkt_solve(
     stacked, ds_const = kkt_solve_rhs(
         layout, scaling_state, rhs, variables, is_combined
     )
-    sol, ok = solve_kkt_refined(factors, K_true, stacked, settings)
+    sol, ok = solve_kkt_refined(factors, K_true, stacked, settings,
+                                want_lo=True, keep_ext=True)
     step = kkt_solve_finish(
-        layout, scaling_state, P, q, b, x2, z2, sol, ds_const, rhs, variables
+        layout, scaling_state, P, q, A, b, x2, z2, sol, ds_const, rhs,
+        variables, K_true=K_true,
     )
     return step, ok
 
@@ -541,11 +655,23 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
         )
         return factors, matvec, ok
 
-    Hs = cone_ops.hs_dense(layout, scaling_state, dtype)
+    Hs, Hs_lo = cone_ops.hs_dense(layout, scaling_state, dtype, want_lo=True)
     K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
-    factors, ok = _make_factor_fn(layout, settings, dtype, n, use_pallas, method)(
-        K_reg
-    )
+    if method == "lu" and jnp.dtype(dtype) == jnp.float32:
+        # f32: Jacobi-equilibrated LU (kkt/dense.py:factor_jacobi)
+        factors, ok = kkt_dense.factor_jacobi(K_reg, settings, n)
+    else:
+        factors, ok = _make_factor_fn(
+            layout, settings, dtype, n, use_pallas, method
+        )(K_reg)
+    if Hs_lo is not None:
+        # mixed-precision KKT: K is carried as a double-float (hi, lo)
+        # pair whose lo part holds the PSD Hs blocks' rounding remainder.
+        # The factorization uses the hi part; iterative refinement
+        # (kkt/dense.py:solve_refined) refines against hi+lo, so the
+        # solved direction is consistent with the exact NT geometry.
+        K_lo = jnp.zeros_like(K).at[n:, n:].set(-Hs_lo)
+        return factors, (K, K_lo), ok
     return factors, K, ok
 
 
@@ -715,6 +841,7 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
         dot_qx=f(0.0), dot_bz=f(0.0),
         status=jnp.asarray(_UNSOLVED, jnp.int32),
         scaling=jnp.asarray(init_scaling, jnp.int32),
+        ip_pending=jnp.asarray(0, jnp.int32),
         history=jnp.full((settings.max_iter + 1, 9), jnp.nan, dtype),
     )
 
@@ -736,7 +863,8 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
         )
         st = st._replace(history=st.history.at[st.iterations].set(row))
 
-        status = check_termination(st, settings, dtype)
+        status, ip_pending = check_termination(st, settings, dtype)
+        st = st._replace(ip_pending=ip_pending)
 
         # wall-clock time limit (info.rs:224-226).  Only traced when a
         # finite limit is configured; the clock read is a host callback.
@@ -832,19 +960,28 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
                 # 2-RHS multifrontal solve
                 joint, ok_ca = solve_kkt_refined(
                     factors, K, jnp.stack([rhs_const, rhs_aff], axis=1),
-                    settings,
+                    settings, want_lo=True, keep_ext=True,
                 )
-                sol_c, sol_a = joint[:, 0], joint[:, 1]
+                j_hi, j_lo = joint
+                sol_c = (j_hi[:, 0], None if j_lo is None else j_lo[:, 0])
+                sol_a = (j_hi[:, 1], None if j_lo is None else j_lo[:, 1])
                 ok_c = ok_a = ok_ca
             else:
                 sol_c, ok_c = solve_kkt_refined(
-                    factors, K, rhs_const, settings
+                    factors, K, rhs_const, settings, want_lo=True
                 )
-                sol_a, ok_a = solve_kkt_refined(factors, K, rhs_aff, settings)
-            x2, z2 = sol_c[:n], sol_c[n:]
+                sol_a, ok_a = solve_kkt_refined(
+                    factors, K, rhs_aff, settings, want_lo=True
+                )
+            if isinstance(sol_c, tuple):
+                (c_hi, c_lo) = sol_c
+                x2 = (c_hi[:n], None if c_lo is None else c_lo[:n])
+                z2 = (c_hi[n:], None if c_lo is None else c_lo[n:])
+            else:
+                x2, z2 = sol_c[:n], sol_c[n:]
             aff = kkt_solve_finish(
-                layout, scaling_state, P, q, b, x2, z2, sol_a, dsc_aff,
-                affine_rhs, variables,
+                layout, scaling_state, P, q, A, b, x2, z2, sol_a, dsc_aff,
+                affine_rhs, variables, K_true=K,
             )
 
             alpha_aff = calc_step_length(

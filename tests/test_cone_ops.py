@@ -63,7 +63,7 @@ def test_nt_scaling_identities(soc_layout):
     assert bool(ok)
 
     # Hs consistency: dense block vs matrix-free product
-    H = np.asarray(ops.hs_dense(layout, state, jnp.float64))
+    H = np.asarray(ops.hs_dense(layout, state, jnp.float64)[0])
     for _ in range(3):
         x = rng.normal(size=layout.m)
         y1 = np.asarray(ops.mul_hs(layout, state, jnp.asarray(x)))

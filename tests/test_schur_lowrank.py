@@ -54,7 +54,7 @@ def test_hs_lowrank_matches_dense(seed):
     )
     assert bool(ok)
 
-    H = np.asarray(cone_ops.hs_dense(layout, state, jnp.float64))
+    H = np.asarray(cone_ops.hs_dense(layout, state, jnp.float64)[0])
     h, U = cone_ops.hs_diag_lowrank(layout, state, jnp.float64)
     H_lr = np.diag(np.asarray(h)) + np.asarray(U) @ np.asarray(U).T
     np.testing.assert_allclose(H_lr, H, atol=1e-10 * max(1.0, abs(H).max()))
@@ -92,7 +92,7 @@ def test_schur_lr_solve_matches_lu(seed):
     rhs = jnp.asarray(rng.standard_normal(n + m))
 
     # LU reference
-    Hs = cone_ops.hs_dense(layout, state, jnp.float64)
+    Hs, _ = cone_ops.hs_dense(layout, state, jnp.float64)
     K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
     fac_lu, ok_lu = kkt_dense.factor(K_reg)
     x_lu, _ = kkt_dense.solve_refined(fac_lu, K, rhs, settings)
