@@ -179,3 +179,77 @@ def equilibrate_sparse(layout: ConeLayout, settings, P, q, A, b):
         e = e * delta
 
     return P.with_data(Pv), q, A.with_data(Av), b, d, e, c
+
+
+def equilibrate_ell(layout: ConeLayout, settings, P, q, A, b, triu_mask):
+    """Ruiz equilibration with A stored as a row-sharded
+    :class:`~clarabel_tpu.algebra.ell.ELLRowMat` (P dense replicated).
+    Same math as :func:`equilibrate`; A's norms/scalings run as per-shard
+    ops + collectives inside the ELL methods, so A is never gathered.
+    """
+    n, m = q.shape[0], b.shape[0]
+    dtype = q.dtype
+
+    d = jnp.ones(n, dtype)
+    e = jnp.ones(m, dtype)
+    c = jnp.asarray(1.0, dtype)
+
+    if not settings.equilibrate_enable:
+        return P, q, A, b, d, e, c
+
+    scale_min = settings.equilibrate_min_scaling
+    scale_max = settings.equilibrate_max_scaling
+
+    def body(_, carry):
+        P, q, A, b, d, e, c = carry
+
+        dwork = jnp.maximum(jnp.max(jnp.abs(P), axis=0), A.col_abs_max())
+        ework = A.row_abs_max()
+
+        dwork = jnp.where(dwork == 0, 1.0, dwork)
+        ework = jnp.where(ework == 0, 1.0, ework)
+
+        dwork = 1.0 / jnp.sqrt(dwork)
+        ework = 1.0 / jnp.sqrt(ework)
+
+        dwork = jnp.clip(dwork, scale_min / d, scale_max / d)
+        ework = jnp.clip(ework, scale_min / e, scale_max / e)
+
+        P = P * dwork[:, None] * dwork[None, :]
+        A = A.scale(ework, dwork)
+        q = q * dwork
+        b = b * ework
+        d = d * dwork
+        e = e * ework
+
+        col_norm_P = jnp.max(jnp.abs(P) * triu_mask, axis=0, initial=0.0)
+        mean_col_norm_P = (
+            jnp.mean(col_norm_P) if n > 0 else jnp.asarray(0.0, dtype)
+        )
+        inf_norm_q = jnp.max(jnp.abs(q), initial=0.0)
+
+        do_cost = (mean_col_norm_P != 0) & (inf_norm_q != 0)
+        scale_cost = jnp.maximum(inf_norm_q, mean_col_norm_P)
+        ctmp = jnp.where(do_cost, 1.0 / jnp.where(do_cost, scale_cost, 1.0), 1.0)
+        ctmp = jnp.where(do_cost, jnp.clip(ctmp, scale_min / c, scale_max / c), 1.0)
+
+        P = P * ctmp
+        q = q * ctmp
+        c = c * ctmp
+
+        return P, q, A, b, d, e, c
+
+    P, q, A, b, d, e, c = jax.lax.fori_loop(
+        0, settings.equilibrate_max_iter, body, (P, q, A, b, d, e, c)
+    )
+
+    # diag-Hs layouts (zero/NN cones only) never need rectification
+    # (rectify_equilibration only modifies e for cones requiring a scalar
+    # scaling: SOC/exp/pow/genpow/PSD)
+    delta, changed = cone_ops.rectify_equilibration(layout, e)
+    if changed:
+        A = A.scale(delta, jnp.ones(n, dtype))
+        b = b * delta
+        e = e * delta
+
+    return P, q, A, b, d, e, c

@@ -317,6 +317,57 @@ def prepare_schur_diag_rowsharded(P, A, hs_diag, settings, eq_mask, mesh, axis):
     return ("schur_diag_sh", (hinv, LS, at_v, a_v, n)), matvec, ok
 
 
+def prepare_schur_diag_rowsharded_ell(P, A, hs_diag, settings, eq_mask):
+    """Sparse (ELL) variant of :func:`prepare_schur_diag_rowsharded`:
+    A arrives as a row-sharded :class:`~clarabel_tpu.algebra.ell.ELLRowMat`
+    (VERDICT r4 #5 — tall problems without a dense host A).
+
+    The Schur Gram reduction S = P̃ + Σ_k A_kᵀ H_k⁻¹ A_k needs an MXU
+    operand, so each shard scatters its ELL row block into a dense
+    [m_loc, n] tile on device (loop-invariant: XLA hoists it out of the
+    IPM while-loop) and the reduction stays one per-shard matmul + psum.
+    Residual/refinement matvecs keep the sparse gather/scatter form.
+    A — in either form — is never all-gathered.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    mesh, axis = A.mesh, A.axis
+    n = P.shape[0]
+    maxdiag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(P)), initial=0.0),
+        jnp.max(hs_diag, initial=0.0),
+    )
+    if settings.static_regularization_enable:
+        eps = (
+            settings.static_regularization_constant
+            + settings.static_regularization_proportional * maxdiag
+        )
+    else:
+        eps = 0.0
+    h = hs_diag + eps
+    if eq_mask is not None:
+        h = h + jnp.asarray(eq_mask, P.dtype) * (1e-3 * maxdiag)
+    hinv = 1.0 / h
+
+    Ad = A.densify_sharded()
+    gram = jax.shard_map(
+        lambda Ab, hb: jax.lax.psum(Ab.T @ (hb[:, None] * Ab), axis),
+        mesh=mesh, in_specs=(PS(axis, None), PS(axis)), out_specs=PS(),
+    )
+    at_v = lambda v: A.T @ v
+    a_v = lambda v: A @ v
+
+    S = P + eps * jnp.eye(n, dtype=P.dtype) + gram(Ad, hinv)
+    LS = jnp.linalg.cholesky(S)
+    ok = jnp.all(jnp.isfinite(LS)) & jnp.all(h > 0)
+
+    def matvec(v):
+        v1, v2 = v[:n], v[n:]
+        return jnp.concatenate([P @ v1 + at_v(v2), a_v(v1) - hs_diag * v2])
+
+    return ("schur_diag_sh", (hinv, LS, at_v, a_v, n)), matvec, ok
+
+
 def _raw_solve(factors, rhs):
     kind, data = factors
     if kind == "lu":

@@ -638,9 +638,18 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
             eq_mask[: layout.n_zero] = 1.0  # zero cones lead the row order
         if row_shard is not None:
             mesh, axis = row_shard
-            factors, matvec, ok = kkt_dense.prepare_schur_diag_rowsharded(
-                P, A, hs_d, settings, eq_mask, mesh, axis
-            )
+            from .algebra.ell import ELLRowMat
+
+            if isinstance(A, ELLRowMat):
+                factors, matvec, ok = (
+                    kkt_dense.prepare_schur_diag_rowsharded_ell(
+                        P, A, hs_d, settings, eq_mask
+                    )
+                )
+            else:
+                factors, matvec, ok = kkt_dense.prepare_schur_diag_rowsharded(
+                    P, A, hs_d, settings, eq_mask, mesh, axis
+                )
         else:
             factors, matvec, ok = kkt_dense.prepare_schur_diag(
                 P, A, hs_d, settings, eq_mask

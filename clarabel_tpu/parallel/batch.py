@@ -34,7 +34,14 @@ from ..statuses import SolverStatus
 
 @dataclasses.dataclass
 class BatchSolution:
-    """Stacked solutions for a problem batch (leading axis = batch)."""
+    """Stacked solutions for a problem batch (leading axis = batch).
+
+    Under a multi-process run (``jax.distributed``), each process holds
+    only its addressable lanes: the arrays cover ``lanes`` (global batch
+    indices, sorted ascending) instead of the full batch.  ``lanes`` is
+    ``None`` in the ordinary single-process case, meaning all of
+    ``0..B-1``.
+    """
 
     x: np.ndarray
     z: np.ndarray
@@ -46,9 +53,50 @@ class BatchSolution:
     r_prim: np.ndarray
     r_dual: np.ndarray
     solve_time: float
+    lanes: Optional[np.ndarray] = None
 
     def statuses(self):
         return [SolverStatus(int(v)) for v in self.status]
+
+
+def _gather_local(out):
+    """``device_get`` that also works when the solve ran across processes.
+
+    Single-process (fully addressable outputs): plain device_get, all
+    lanes, ``lanes=None``.  Multi-process: a global array cannot be
+    fetched whole (other processes hold the rest), so assemble this
+    process's lanes from ``addressable_shards`` — the public-API analog
+    of the per-rank shard checks in tests/_distributed_worker.py.
+    """
+    ref = out["status"]
+    if getattr(ref, "is_fully_addressable", True):
+        return jax.tree.map(np.asarray, jax.device_get(out)), None
+
+    def localize(a):
+        segs = {}
+        for sh in a.addressable_shards:
+            start = sh.index[0].start or 0
+            segs.setdefault(start, np.asarray(sh.data))  # dedupe replicas
+        return np.concatenate(
+            [segs[k] for k in sorted(segs)], axis=0
+        )
+
+    lanes = np.concatenate(
+        sorted(
+            (
+                np.arange(
+                    sh.index[0].start or 0,
+                    (sh.index[0].start or 0) + sh.data.shape[0],
+                )
+                for sh in {
+                    (sh.index[0].start or 0): sh
+                    for sh in ref.addressable_shards
+                }.values()
+            ),
+            key=lambda r: r[0],
+        )
+    )
+    return jax.tree.map(localize, out), lanes
 
 
 class BatchSolver:
@@ -209,7 +257,7 @@ class BatchSolver:
             out = self._solve_warm(warm_start)
         else:
             out = self._solve_fn(self._P, self._q, self._A, self._b)
-        out = jax.tree.map(np.asarray, jax.device_get(out))
+        out, lanes = _gather_local(out)
         solve_time = time.perf_counter() - t0
 
         # undo the cone permutation per instance
@@ -229,6 +277,7 @@ class BatchSolver:
             r_prim=out["r_prim"],
             r_dual=out["r_dual"],
             solve_time=solve_time,
+            lanes=lanes,
         )
 
     def _solve_warm(self, warm_start):

@@ -42,6 +42,14 @@ class ShardedRowSolver:
     (zero / nonnegative; SOC and 3-D cone groups are kept replicated by
     XLA automatically if present).  The row permutation and presolve run
     on the host exactly as in :class:`~clarabel_tpu.DefaultSolver`.
+
+    ``A`` may be scipy-sparse: on the explicit-collective path
+    (zero/NN layouts, f32) it is kept sparse end to end as row-sharded
+    padded-ELL blocks (:class:`~clarabel_tpu.algebra.ell.ELLRowMat`) —
+    the host never materializes the dense [m, n] matrix, each device
+    receives only its own rows, and the per-shard Gram tile is scattered
+    densely on device only for the MXU Schur reduction.  ``P`` is always
+    densified ([n, n] is the replicated small side).
     """
 
     def __init__(
@@ -62,10 +70,14 @@ class ShardedRowSolver:
         self._mesh = mesh
         axis = mesh.axis_names[0]
 
+        import scipy.sparse as sp
+
+        from ..algebra.ell import ELLRowMat
+
         q = np.asarray(q, np.float64).ravel()
         b = np.asarray(b, np.float64).ravel()
-        P, _ = _solver._to_dense(P, "P")
-        A, _ = _solver._to_dense(A, "A")
+        A_sparse_in = sp.issparse(A)
+        P, _ = _solver._to_dense(P, "P")  # [n, n]: replicated, small side
         P = _solver._symmetrize_triu(P)
 
         cones_int = list(api.collapse_cones(tuple(cones)))
@@ -75,37 +87,46 @@ class ShardedRowSolver:
         self.n, self.m = n, m_user
         ndev = mesh.devices.size
 
+        # diagonal-Hs layouts (zero/NN cones) take the shard_map Schur
+        # path: the A'H⁻¹A Gram reduction is an explicit per-shard matmul
+        # + psum and A is never gathered (kkt/dense.py
+        # prepare_schur_diag_rowsharded).  Other layouts fall back to
+        # GSPMD propagation through the dense factorization.
+        diag_hs = all(
+            c.kind in (api.ZERO, api.NONNEGATIVE) for c in cones_int
+        )
+        explicit = diag_hs and np.dtype(dtype) == np.float32
+        # sparse A stays sparse on the explicit-collective path (ELL row
+        # blocks, VERDICT r4 #5): the host never materializes the dense
+        # [m, n] matrix and each device receives only its own rows.  The
+        # GSPMD fallback path (non-diagonal layouts) still needs dense A.
+        sparse_path = A_sparse_in and explicit
+        if not sparse_path:
+            A, _ = _solver._to_dense(A, "A")
+
         # pad the row dimension to a multiple of the mesh size with free
         # nonnegative rows (0·x + s = 1, s >= 0): structurally inert, so
         # uneven problems shard without user-side surgery
         pad = (-m_user) % ndev
         self._row_pad = pad
         if pad:
-            A = np.vstack([A, np.zeros((pad, n))])
+            if sparse_path:
+                A = sp.vstack(
+                    [A.tocsr(), sp.csr_matrix((pad, n))], format="csr"
+                )
+            else:
+                A = np.vstack([A, np.zeros((pad, n))])
             b = np.concatenate([b, np.ones(pad)])
             cones_int.append(api.ConeSpec(api.NONNEGATIVE, pad))
 
         self._layout = ConeLayout(tuple(cones_int))
         perm = self._layout.perm
-        A = A[perm, :]
+        A = A.tocsr()[perm, :] if sparse_path else A[perm, :]
         b = b[perm]
 
-        # diagonal-Hs layouts (zero/NN cones) take the shard_map Schur
-        # path: the A'H⁻¹A Gram reduction is an explicit per-shard matmul
-        # + psum and A is never gathered (kkt/dense.py
-        # prepare_schur_diag_rowsharded).  Other layouts fall back to
-        # GSPMD propagation through the dense factorization.
-        diag_hs = (
-            self._layout.m_soc == 0
-            and self._layout.num_exp == 0
-            and self._layout.num_pow == 0
-            and self._layout.num_genpow == 0
-            and self._layout.num_psd == 0
-        )
-        row_shard = (mesh, axis) if (
-            diag_hs and np.dtype(dtype) == np.float32
-        ) else None
+        row_shard = (mesh, axis) if explicit else None
         self._explicit_collectives = row_shard is not None
+        self._sparse_A = sparse_path
 
         core = _solver.build_solve_core(
             self._layout, self.settings, n, not np.any(P), dtype,
@@ -117,13 +138,19 @@ class ShardedRowSolver:
         rep = NamedSharding(mesh, PSpec())
         rep2d = NamedSharding(mesh, PSpec(None, None))
 
-        self._solve_fn = jax.jit(
-            core, in_shardings=(rep2d, rep, row2d, row)
-        )
         self._P = jax.device_put(np.asarray(P, dtype), rep2d)
         self._q = jax.device_put(np.asarray(q, dtype), rep)
-        self._A = jax.device_put(np.asarray(A, dtype), row2d)
         self._b = jax.device_put(np.asarray(b, dtype), row)
+        if sparse_path:
+            self._A = ELLRowMat.from_scipy(A, mesh, axis, dtype)
+            # A is a pytree input; its leaves carry their shardings from
+            # from_scipy's device_put, so jit infers the placement
+            self._solve_fn = jax.jit(core)
+        else:
+            self._A = jax.device_put(np.asarray(A, dtype), row2d)
+            self._solve_fn = jax.jit(
+                core, in_shardings=(rep2d, rep, row2d, row)
+            )
 
     def solve(self):
         t0 = time.perf_counter()

