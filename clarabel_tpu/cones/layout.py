@@ -50,6 +50,15 @@ class PSDBucket:
         # scale factors: mat->svec multiplies off-diag by √2
         self.pack_scale = np.where(self.is_diag, 1.0, np.sqrt(2.0))
         self.unpack_scale = 1.0 / self.pack_scale
+        # exact double-float (f32 hi/lo) splits of the scale constants:
+        # an f32-rounded 1/√2 injects a MULTIPLICATIVE eps32 error into
+        # every off-diagonal svec entry, which near μ→0 exceeds the PSD
+        # cone's small eigenvalues and collapses step lengths (measured:
+        # skron pair error eps·‖Hs‖ traced to exactly this constant)
+        self.unpack_scale_h = self.unpack_scale.astype(np.float32)
+        self.unpack_scale_l = (
+            self.unpack_scale - self.unpack_scale_h.astype(np.float64)
+        ).astype(np.float32)
 
 
 class ConeLayout:

@@ -25,6 +25,17 @@ from . import api
 from .layout import ConeLayout, PSDBucket
 
 
+# Frame choice for the double-float PSD algebra's 1/√2 constants.
+# False (default): the f32-ROUNDED constant is treated as exact and used
+# consistently by every svec/skron site — the whole PSD pipeline then
+# lives in one self-consistent "rounded frame" (a relative eps32
+# perturbation of the real geometry, benign like any scaling
+# perturbation).  True: df-exact constants — more accurate per-site but
+# only the df sites can afford them, leaving the plain conversions in the
+# other frame; measured worse on the batched SDP bench (46/64 vs 64/64).
+_EXACT_SQRT2 = False
+
+
 def _psd_slice(layout):
     return layout.slice_of(api.PSD)
 
@@ -62,9 +73,12 @@ def _to_mat_df(bucket: PSDBucket, x, x_lo=None):
     Returns (M_hi, M_lo)."""
     from ..kkt import compensated as dfc
 
-    vh, ve = dfc._two_prod(x, bucket.unpack_scale)
+    ush = jnp.asarray(bucket.unpack_scale_h, x.dtype)
+    vh, ve = dfc._two_prod(x, ush)
+    if _EXACT_SQRT2:
+        ve = ve + x * jnp.asarray(bucket.unpack_scale_l, x.dtype)
     if x_lo is not None:
-        ve = ve + x_lo * bucket.unpack_scale
+        ve = ve + x_lo * ush
     k = x.shape[0]
 
     def build(vals, diag_vals):
@@ -92,9 +106,15 @@ def _to_svec_df(bucket: PSDBucket, Yh, Yl):
     I, J = bucket.I, bucket.J
     uph, loh = Yh[:, I, J], Yh[:, J, I]
     s, e = dfc._two_sum(uph, loh)
-    f = jnp.asarray(1.0 / np.sqrt(2.0), Yh.dtype)
-    ph, pe = dfc._two_prod(s, f)
-    low = (Yl[:, I, J] + Yl[:, J, I]) * f + e * f + pe
+    c64 = 1.0 / np.sqrt(2.0)
+    fh = jnp.asarray(np.float32(c64), Yh.dtype)
+    ph, pe = dfc._two_prod(s, fh)
+    low = (Yl[:, I, J] + Yl[:, J, I]) * fh + e * fh + pe
+    if _EXACT_SQRT2:
+        fl = jnp.asarray(
+            np.float32(c64 - np.float64(np.float32(c64))), Yh.dtype
+        )
+        low = low + s * fl
     hi = jnp.where(bucket.is_diag, uph, ph)
     lo = jnp.where(bucket.is_diag, Yl[:, I, J], low)
     return hi, lo
@@ -137,8 +157,35 @@ def update_scaling(layout: ConeLayout, state, s, z):
         S = _to_mat(b, s[sl][b.gather])
         Z = _to_mat(b, z[sl][b.gather])
 
-        L1 = jnp.linalg.cholesky(S)
-        L2 = jnp.linalg.cholesky(Z)
+        if s.dtype == jnp.float32:
+            # f32: near strict complementarity eig_min(S) ~ μ drops below
+            # eps32·‖S‖ and Cholesky breaks down on rounding (observed:
+            # chol NaN with all f32 eigenvalues positive, eig_min 4e-8 at
+            # ‖S‖ ~ 1).  Any factor with S = L Lᵀ serves the NT
+            # construction (the SVD below doesn't need triangularity), so
+            # use the eigh square root with the spectrum floored at a few
+            # ulps of ‖S‖ — equivalent to an O(eps) inward shift of the
+            # iterate.  f64 keeps Cholesky (reference semantics,
+            # psdtrianglecone.rs:144-204: eps64 never meets this).
+            def _sqrt_factor(M):
+                w, U = jnp.linalg.eigh(M)
+                # spectrum floor at a few ulps of ‖M‖: keeps the factor
+                # PD and caps ‖Hs‖ near 1/eps (a mild extra
+                # regularization).  Measured on the strictly-
+                # complementary SDP batch: c in [1, 16] equivalent
+                # (61-62/64 pre-frame-fix), c = 64 over-regularizes,
+                # eps²-level floors let ‖Hs‖ blow up the KKT conditioning
+                floor = (4.0 * jnp.finfo(jnp.float32).eps) * jnp.max(
+                    jnp.abs(w), axis=-1, keepdims=True
+                )
+                wc = jnp.maximum(w, floor)
+                return U * jnp.sqrt(wc)[..., None, :]
+
+            L1 = _sqrt_factor(S)
+            L2 = _sqrt_factor(Z)
+        else:
+            L1 = jnp.linalg.cholesky(S)
+            L2 = jnp.linalg.cholesky(Z)
         ok = ok & jnp.all(jnp.isfinite(L1)) & jnp.all(jnp.isfinite(L2))
 
         # SVD of L2ᵀ L1 gives the NT geometric mean factors
@@ -151,6 +198,14 @@ def update_scaling(layout: ConeLayout, state, s, z):
         R = jnp.einsum("kij,klj->kil", L1, Vt) * lam_isqrt[:, None, :]
         Rinv = lam_isqrt[:, :, None] * jnp.einsum("kji,klj->kil", U, L2)
 
+        # λ = 0 (exactly singular NT mean) or a non-finite R must read as
+        # a scaling failure, not poison the KKT with inf·0 = NaN
+        ok = (
+            ok
+            & jnp.all(lam > 0)
+            & jnp.all(jnp.isfinite(R))
+            & jnp.all(jnp.isfinite(Rinv))
+        )
         state[f"psd{bi}_R"] = R
         state[f"psd{bi}_Rinv"] = Rinv
         state[f"psd{bi}_lam"] = lam
@@ -167,12 +222,23 @@ def _skron(bucket: PSDBucket, A):
 
 
 def _skron_df(bucket: PSDBucket, Ah, Al):
-    """skron of a double-float A: returns (hi, lo) [k, tri, tri] blocks."""
+    """skron of a double-float A: returns (hi, lo) [k, tri, tri] blocks.
+
+    The 1/√2 factors are applied as exact double-float constants: an
+    f32-rounded constant is a multiplicative eps32 perturbation of every
+    off-diagonal skron entry — at ‖Hs‖ ~ 1/μ that alone is the whole
+    f32 error budget (measured 6e-8·‖Hs‖ pair error before this fix)."""
     from ..kkt import compensated as dfc
 
     I, J = bucket.I, bucket.J
-    f = jnp.asarray(
-        np.where(bucket.is_diag, 1.0 / np.sqrt(2.0), 1.0), Ah.dtype
+    f64 = np.where(bucket.is_diag, 1.0 / np.sqrt(2.0), 1.0)
+    ff64 = f64[:, None] * f64[None, :]
+    ffh = jnp.asarray(ff64.astype(np.float32), Ah.dtype)
+    ffl = jnp.asarray(
+        (ff64 - ff64.astype(np.float32).astype(np.float64)).astype(
+            np.float32
+        ) if _EXACT_SQRT2 else np.zeros_like(ff64, np.float32),
+        Ah.dtype,
     )
 
     def _pick(M, a, b_):
@@ -190,9 +256,8 @@ def _skron_df(bucket: PSDBucket, Ah, Al):
     )
     sh, se = dfc._two_sum(t1h, t2h)
     slo = t1l + t2l + se
-    ff = f[:, None] * f[None, :]
-    ph, pe = dfc._two_prod(sh, ff)
-    return ph, pe + slo * ff
+    ph, pe = dfc._two_prod(sh, ffh)
+    return ph, pe + slo * ffh + sh * ffl
 
 
 def hs_dense(layout: ConeLayout, state, H, H_lo=None):

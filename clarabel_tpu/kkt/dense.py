@@ -59,6 +59,25 @@ def factor(K_reg):
     return ("lu", (lu, piv)), ok
 
 
+# dimension gate for the double-float LU (kkt/df_ldl.py): its column
+# fori_loop costs one step per column, so very large dense systems keep
+# the one-dispatch pivoted LU + refinement instead (and those route to
+# the multifrontal engine anyway at this size)
+DF_LU_MAX_DIM = 512
+
+
+def factor_df(K_reg, K_reg_lo=None):
+    """Double-float LU with partial pivoting (kkt/df_ldl.py): the f32
+    factorization whose application error ~eps_df keeps iterative
+    refinement contracting even at cond(K) ~ 1e10 (see the df_ldl module
+    docstring for the measured failure of every plain-f32 factorization
+    at strict complementarity)."""
+    from . import df_ldl
+
+    fac, ok = df_ldl.factor(K_reg, K_reg_lo)
+    return ("df_lu", fac), ok
+
+
 def factor_jacobi(K_reg, settings, n):
     """f32 LU on the Jacobi-equilibrated regularized KKT.
 
@@ -376,6 +395,10 @@ def _raw_solve(factors, rhs):
         lu, piv, d = data
         ds = d if rhs.ndim == 1 else d[:, None]
         return ds * jsl.lu_solve((lu, piv), ds * rhs)
+    if kind == "df_lu":
+        from . import df_ldl
+
+        return df_ldl.solve(data, rhs)
     if kind == "schur_diag_sh":
         hinv, LS, at_v, a_v, n = data
         b1, b2 = rhs[:n], rhs[n:]

@@ -188,31 +188,16 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
     nonzero vector of K (original frame, the CSC order that was handed to
     :func:`mf_symbolic.analyze`).
 
-    ``use_pallas`` selects the kernel mode: ``"diag"`` (TPU f32 default)
-    runs each diagonal block's sequential pivot chain as one
-    :func:`pallas_diag.diag_ldl` dispatch (the chain is pure VPU — no
-    MXU contraction-order divergence); ``"front"`` / ``True`` runs the
-    fused whole-front kernel :func:`pallas_front.front_partial_ldl`
-    (opt-in: its inter-block MXU dots round differently from the XLA
-    trisolve path and the error amplifies through deep schedules —
-    STATUS.md); anything falsy / ``"none"`` keeps pure XLA.
+    ``use_pallas`` is accepted for signature stability but ignored: the
+    experimental Pallas kernel modes ("front" fused factorization,
+    "diag" pivot chains) were retired in round 5 — measured numerically
+    weaker resp. speed-neutral vs this XLA blocked path (STATUS.md).
 
     Returns (factors, ok); factors is a pytree consumed by
     :func:`mf_solve`.
     """
-    mode = {True: "front", False: "none", None: "none"}.get(
-        use_pallas, use_pallas
-    )
-    if mode == "front":
-        from . import pallas_front
+    del use_pallas
     diag_fn = _diag_factor
-    if mode == "diag":
-        from . import pallas_diag
-
-        def diag_fn(D, s, e, d):
-            if not pallas_diag.supported(D.shape[1], D.dtype):
-                return _diag_factor(D, s, e, d)
-            return pallas_diag.diag_ldl(D, s, float(e), float(d))
     if finit is None:
         dtype = Kvals.dtype
         # kkt/sparse.build composes the fill-reducing permutation into its
@@ -265,15 +250,8 @@ def mf_factor(plan, arrays, Kvals, eps, delta, use_pallas=False,
                     indices_are_sorted=True,
                 )
             signs = jnp.asarray(arrays[B.key + ":signs"], dtype)
-            if mode == "front" and pallas_front.supported(B.c_pad, rp, dtype):
-                Fo, d = pallas_front.front_partial_ldl(
-                    F, signs, B.c_pad, float(eps), float(delta)
-                )
-                Lc, U = Fo[:, :, : B.c_pad], Fo[:, B.c_pad :, B.c_pad :]
-                okb = jnp.all(jnp.isfinite(Fo))
-            else:
-                Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta,
-                                            diag_fn=diag_fn)
+            Lc, d, U, okb = partial_ldl(F, B.c_pad, signs, eps, delta,
+                                        diag_fn=diag_fn)
             # store full-symmetric U (only its lower triangle is valid —
             # fronts initialize tril-only) so the P·U·Pᵀ extend-add sees
             # both triangles

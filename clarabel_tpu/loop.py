@@ -415,17 +415,103 @@ def kkt_solve_finish(
 
     # Δτ (kktsystem.rs:168-190)
     xi = x / tau
-    tau_num = (
-        rtau - rkappa / tau + q @ x1 + b @ z1f[:m] + 2.0 * (xi @ (P @ x1))
-    )
-    xi_m_x2 = xi - x2
-    tau_den = (
-        kappa / tau
-        - q @ x2
-        - b @ z2[:m]
-        + xi_m_x2 @ (P @ xi_m_x2)
-        - x2 @ (P @ x2)
-    )
+    if sol_lo is not None and sol.dtype == jnp.float32:
+        # compensated-path layouts only (PSD / dense-LU f32): the cheap
+        # schur_diag/schur_lr throughput paths keep the plain dots — they
+        # never reach the cond(K) regime where this matters, and the
+        # extra ~40 tiny ops per finish would tax the latency-bound
+        # batched-QP loop
+        # f32: the Δτ numerator/denominator are cancellation-prone dot
+        # products of ~1/σ_min(K)-sized homogeneous solutions; plain f32
+        # dots also round differently per batch shape (XLA reassociates
+        # reductions), which near μ → 0 decides whether a lane converges.
+        # Compensated dots make Δτ batch-shape-independent to ~eps².
+        from .kkt import compensated as _dfc0
+
+        def _df_dot(u, v):
+            p, e = _dfc0._two_prod(u, v)
+            h, l = _dfc0._df_reduce_last(p, e)
+            return h, l
+
+        # P @ v as a compensated pair.  A plain batched matmul's rounding
+        # is reassociated by XLA per BATCH SHAPE, so the same lane gives
+        # different Δτ under vmap(B=1) vs vmap(B=4) — with |x1| ~
+        # 1/σ_min(K) a few-ulp difference decides step lengths near μ→0.
+        # The compensated form is elementwise + a fixed reduction tree:
+        # batch-shape-invariant and ~eps² accurate.  (COOMat P on the
+        # sparse path keeps its own matvec; its segment sums are already
+        # shape-stable.)
+        dense_P = isinstance(P, jnp.ndarray)
+
+        def _df_matvec(v):
+            if not dense_P:
+                return P @ v, jnp.zeros_like(v)
+            p, e = _dfc0._two_prod(P, v[None, :])
+            return _dfc0._df_reduce_last(p, e)
+
+        def _df_dot_mv(u, vh, vl):
+            h, l = _df_dot(u, vh)
+            return h, l + u @ vl
+
+        def _acc(pairs):
+            th = jnp.asarray(0.0, sol.dtype)
+            tl = jnp.asarray(0.0, sol.dtype)
+            for (h, l) in pairs:
+                th, e = _dfc0._two_sum(th, h)
+                tl = tl + e + l
+            return th + tl
+
+        # the lo streams of the homogeneous solutions are NOT optional
+        # here: |x1| ~ 1/σ_min(K) makes sol_lo ~ eps·|x1| comparable to
+        # the whole cancelled numerator — dropping it was measured as a
+        # 1000% Δτ error at cond(K) ~ 1e12
+        x1_lo = sol_lo[:n] if sol_lo is not None else None
+        z1_lo = sol_lo[n:] if sol_lo is not None else None
+
+        qx1 = _df_dot(q, x1)
+        bz1 = _df_dot(b, z1f[:m])
+        Px1h, Px1l = _df_matvec(x1)
+        xiPx1 = _df_dot_mv(xi, Px1h, Px1l)
+        num_pairs = [
+            (rtau, jnp.zeros_like(rtau)), (-rkappa / tau, 0.0),
+            qx1, bz1, (2.0 * xiPx1[0], 2.0 * xiPx1[1]),
+        ]
+        if x1_lo is not None:
+            num_pairs.append((q @ x1_lo, 0.0))
+            num_pairs.append((b @ z1_lo[:m], 0.0))
+            num_pairs.append((2.0 * (xi @ (P @ x1_lo)), 0.0))
+        tau_num = _acc(num_pairs)
+        xi_m_x2 = xi - x2
+        qx2 = _df_dot(q, x2)
+        bz2 = _df_dot(b, z2[:m])
+        Pxmh, Pxml = _df_matvec(xi_m_x2)
+        t1 = _df_dot_mv(xi_m_x2, Pxmh, Pxml)
+        Px2h, Px2l = _df_matvec(x2)
+        t2 = _df_dot_mv(x2, Px2h, Px2l)
+        den_pairs = [
+            (kappa / tau, 0.0), (-qx2[0], -qx2[1]), (-bz2[0], -bz2[1]),
+            t1, (-t2[0], -t2[1]),
+        ]
+        if x2_lo is not None:
+            # first-order lo corrections of the quadratic forms
+            den_pairs.append((-(q @ x2_lo), 0.0))
+            den_pairs.append((-(b @ z2_lo[:m]), 0.0))
+            Px2_lo = P @ x2_lo
+            den_pairs.append((-2.0 * (xi_m_x2 @ Px2_lo), 0.0))
+            den_pairs.append((-2.0 * (x2 @ Px2_lo), 0.0))
+        tau_den = _acc(den_pairs)
+    else:
+        tau_num = (
+            rtau - rkappa / tau + q @ x1 + b @ z1f[:m] + 2.0 * (xi @ (P @ x1))
+        )
+        xi_m_x2 = xi - x2
+        tau_den = (
+            kappa / tau
+            - q @ x2
+            - b @ z2[:m]
+            + xi_m_x2 @ (P @ xi_m_x2)
+            - x2 @ (P @ x2)
+        )
     dtau = tau_num / tau_den
 
     dx = x1 + dtau * x2
@@ -667,8 +753,17 @@ def _kkt_prepare(layout, settings, dtype, n, use_pallas, P, A, scaling_state,
     Hs, Hs_lo = cone_ops.hs_dense(layout, scaling_state, dtype, want_lo=True)
     K, K_reg = kkt_dense.assemble(P, A, Hs, settings)
     if method == "lu" and jnp.dtype(dtype) == jnp.float32:
-        # f32: Jacobi-equilibrated LU (kkt/dense.py:factor_jacobi)
-        factors, ok = kkt_dense.factor_jacobi(K_reg, settings, n)
+        if K.shape[-1] <= kkt_dense.DF_LU_MAX_DIM:
+            # f32: double-float LU (kkt/df_ldl.py) — the only f32 dense
+            # factorization whose refinement still contracts at the
+            # cond(K) ~ 1/mu^2 ~ 1e10 reached at strict complementarity
+            K_reg_lo = None
+            if Hs_lo is not None:
+                K_reg_lo = jnp.zeros_like(K).at[n:, n:].set(-Hs_lo)
+            factors, ok = kkt_dense.factor_df(K_reg, K_reg_lo)
+        else:
+            # large dense f32: Jacobi-equilibrated LU + refinement
+            factors, ok = kkt_dense.factor_jacobi(K_reg, settings, n)
     else:
         factors, ok = _make_factor_fn(
             layout, settings, dtype, n, use_pallas, method
@@ -998,6 +1093,28 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
                 is_combined=False, scaling=st.scaling,
             )
             sigma = (1.0 - alpha_aff) ** 3  # solver.rs:543-545
+            if jnp.dtype(dtype) == jnp.float32:
+                # f32 centering floor: Mehrotra's σ = (1-α)³ can target
+                # σμ ~ 1e-9, two orders below both what tol_gap needs
+                # (μ ≈ gap/(deg+1)) and what f32 iterate rounding can
+                # represent — the combined step then aims at an
+                # unrepresentable point, steps collapse, and the lane
+                # exits InsufficientProgress one iteration short of its
+                # tolerance (observed on the strictly-complementary SDP
+                # batch: stuck at gap 3.7e-5 with μ pushed to 1e-9).
+                # Don't aim below the tolerance's own μ: clamp the target
+                # to a quarter of tol_gap_abs/(deg+1).  f64 (the oracle
+                # regime) keeps the reference's untouched σ.
+                # gate on ktratio: infeasible problems produce their
+                # certificate by DIVERGING (τ → 0, ktratio → 1+); forcing
+                # centering there holds the iterate on the central path
+                # forever (observed: a primal-infeasible LP running to
+                # max_iter).  ktratio < 0.1 identifies a converging run.
+                mu_floor = settings.tol_gap_abs / (layout.degree + 1) * 0.25
+                sigma_clamped = jnp.minimum(
+                    jnp.maximum(sigma, jnp.minimum(1.0, mu_floor / mu)), 1.0
+                )
+                sigma = jnp.where(st.ktratio < 0.1, sigma_clamped, sigma)
 
             # reduced Mehrotra correction on the first iteration
             # (solver.rs:380-382)
@@ -1034,6 +1151,67 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
                 layout, scaling_state, comb, variables, settings,
                 is_combined=True, scaling=st.scaling,
             )
+
+            if jnp.dtype(dtype) == jnp.float32 and layout.num_psd:
+                # f32 PSD recovery: at cond(K) ~ 1/μ² the Mehrotra
+                # corrector term is the noisiest part of the combined
+                # direction; when the combined step collapses while the
+                # affine step was healthy, the corrector is noise — take
+                # a pure centering step (σ=1, no second-order term)
+                # instead of a tiny noisy step that drifts the iterate
+                # off-center and stalls the lane (observed: batch lanes
+                # taking α ~ 0.03 steps with pres rising, then exiting
+                # AlmostSolved one iteration from tolerance).  One extra
+                # solve on the SAME factorization; f64 and non-PSD
+                # layouts are untouched (reference semantics).
+                cent_shift = cone_ops.combined_ds_shift(
+                    layout, scaling_state, jnp.zeros_like(dz_a),
+                    jnp.zeros_like(ds_a), mu, st.z
+                )
+                cent_rhs = (
+                    jnp.zeros_like(r.rx),
+                    affine_rhs[1] + cent_shift,
+                    jnp.zeros_like(r.rz),
+                    jnp.zeros_like(r.rtau),
+                    -mu + st.tau * st.kappa,
+                )
+                cent, ok_cent = kkt_solve(
+                    layout, scaling_state, factors, K, P, q, A, b, x2, z2,
+                    cent_rhs, variables, settings, is_combined=True,
+                )
+                alpha_cent = calc_step_length(
+                    layout, scaling_state, cent, variables, settings,
+                    is_combined=True, scaling=st.scaling,
+                )
+                use_cent = (
+                    (alpha < 0.3 * alpha_aff)
+                    & (alpha < 0.7)
+                    & (alpha_cent > 2.0 * alpha)
+                )
+                comb = jax.tree.map(
+                    lambda cc, cb: jnp.where(use_cent, cc, cb), cent, comb
+                )
+                alpha = jnp.where(use_cent, alpha_cent, alpha)
+                kkt_ok = kkt_ok & jnp.where(use_cent, ok_cent, True)
+                fail_ne = fail_ne | (
+                    use_cent & (~ok_cent) & (~retry_ne)
+                )
+
+            # direction finiteness: the Δτ recovery (num/den) and the
+            # combined shift can produce inf/NaN without any factor-level
+            # ok flag tripping (e.g. τ-denominator cancellation to 0);
+            # taking such a step poisons the whole state pytree.  Treat a
+            # non-finite direction or step length exactly like a KKT
+            # numerical error (reference analog: solver.rs:611-630).
+            dir_ok = jnp.isfinite(alpha)
+            for _leaf in comb:
+                dir_ok = dir_ok & jnp.all(jnp.isfinite(_leaf))
+            retry_dir = (
+                (~dir_ok) & asym & (st.scaling == SCALING_PRIMAL_DUAL)
+            )
+            fail_ne = fail_ne | ((~dir_ok) & (~retry_dir))
+            retry_ne = retry_ne | (retry_dir & ok_scale)
+            kkt_ok = kkt_ok & dir_ok
 
             # --- strategy checkpoint: small step (solver.rs:632-652)
             retry_ss = (

@@ -253,6 +253,8 @@ def build_solve_core(layout: ConeLayout, settings: DefaultSettings,
             "iterations": st.iterations,
             "r_prim": st.res_primal,
             "r_dual": st.res_dual,
+            "tau": st.tau,
+            "kappa": st.kappa,
             "mu": st.mu,
             "sigma": st.sigma,
             "step_length": st.step_length,
@@ -776,28 +778,16 @@ class DefaultSolver:
             else:
                 device = jax.devices()[0]
         self._device = device
-        # Experimental (CT_PALLAS_FRONT=1): fused Pallas front-factorization
-        # kernel (kkt/pallas_front.py).  Measured on the N=60k banded QP it
-        # is numerically weaker than the XLA blocked path (128-long f32
-        # rank-1 chains vs 32-block scans + triangular solves: iterative
-        # refinement stalls) and no faster once the flat-workspace assembly
-        # landed, so it stays opt-in.
-        import os as _os
-
-        if _is_tpu_platform(device) and self._dtype == "float32":
-            if _os.environ.get("CT_PALLAS_FRONT"):
-                self._use_pallas = "front"
-            elif _os.environ.get("CT_PALLAS_DIAG"):
-                # pivot chains as Pallas dispatches (kkt/pallas_diag.py):
-                # bit-exact vs the XLA scan on hardware but measured
-                # speed-neutral (15.0 vs 14.6 ms factor at N=60k) and
-                # Mosaic compiles cost minutes through the tunnel — so
-                # opt-in, kept for schedules with much longer chains
-                self._use_pallas = "diag"
-            else:
-                self._use_pallas = "none"
-        else:
-            self._use_pallas = "none"
+        # The experimental Pallas multifrontal kernels (fused front
+        # factorization, pivot-chain LDL) were retired in round 5 after
+        # two rounds of measurements showed neither earns a default slot:
+        # the fused front kernel was numerically weaker than the XLA
+        # blocked path and no faster in context, the pivot-chain kernel
+        # bit-exact but speed-neutral (findings recorded in STATUS.md).
+        # The XLA blocked factorization is the shipped multifrontal path;
+        # the Pallas quasidefinite LDL for dense KKTs (kkt/pallas_ldl.py,
+        # direct_solve_method="pallas") remains with its bench rows.
+        self._use_pallas = "none"
 
         # post-chordal density re-check: a PSD problem was routed here
         # tentatively on the hope that the decomposition shrinks its dense
@@ -891,6 +881,8 @@ class DefaultSolver:
                 out = self._solve_fn(self._P, self._q, self._A, self._b)
             out = jax.tree.map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
+        self._raw_out = out  # full core outputs (permuted frame), for
+        # introspection/debugging: includes tau/kappa/equilibration
 
         status = SolverStatus(int(out["status"]))
 

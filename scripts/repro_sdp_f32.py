@@ -62,3 +62,27 @@ for i in bad:
     print(f"lane {i}: alone status={r.status} iters={info.iterations} "
           f"gap_rel={getattr(info, 'rel_gap', None)} pres={info.res_primal} "
           f"dres={info.res_dual} ktratio={getattr(info, 'ktratio', None)}")
+
+# --- batch-vs-single trajectory diff for the first failing lane
+hist = batch.iteration_history()
+l0 = bad[0] if bad else 0
+h = hist[l0]
+cols = "pcost dcost gap_abs gap_rel pres dres k/t mu step".split()
+print(f"batch lane {l0} history:")
+print("it  " + "  ".join(f"{c:>9}" for c in cols))
+for i, row in enumerate(h):
+    if not np.isfinite(row[7]) or (i and row[7] == 0):
+        break
+    print(f"{i:3d} " + "  ".join(f"{v:9.2e}" for v in row))
+
+# same lane, B=1 batch (vmapped single lane)
+b1 = ct.BatchSolver(P[l0:l0+1], q[l0:l0+1], A[l0:l0+1], b[l0:l0+1],
+                    cones, settings, dtype="float32", device=cpu)
+s1b = b1.solve()
+print("B=1 status:", s1b.statuses()[0])
+# B=4 including the lane
+idx4 = [l0, (l0+1) % B, (l0+2) % B, (l0+3) % B]
+b4 = ct.BatchSolver(P[idx4], q[idx4], A[idx4], b[idx4],
+                    cones, settings, dtype="float32", device=cpu)
+s4 = b4.solve()
+print("B=4 statuses:", [str(s) for s in s4.statuses()])

@@ -124,65 +124,3 @@ def test_fill_stats_are_sparse():
     plan = mf_symbolic.analyze(K_low, dsigns)
     assert plan.nnzL < 0.05 * N * N
     assert plan.n_supernodes > 1
-
-
-def test_pallas_front_kernel_matches_xla_path():
-    """The experimental fused Pallas front-factorization kernel
-    (CT_PALLAS_FRONT=1 opt-in) must match the XLA blocked partial LDL to
-    f32 roundoff; runs in interpreter mode so it validates on CPU."""
-    import jax.numpy as jnp
-
-    from clarabel_tpu.kkt import multifrontal as mf
-    from clarabel_tpu.kkt import pallas_front as pf
-
-    rng = np.random.default_rng(7)
-    for (k, c, r) in [(3, 32, 32), (2, 64, 96), (2, 128, 160)]:
-        M = rng.standard_normal((k, r, r)).astype(np.float32)
-        M = M + np.transpose(M, (0, 2, 1))
-        M[:, np.arange(r), np.arange(r)] += 3.0 * r
-        sg = np.ones((k, c), np.float32)
-        sg[:, c // 2:] = -1.0
-        M[:, np.arange(c // 2, r), np.arange(c // 2, r)] *= -1.0
-        F = jnp.asarray(M)
-        signs = jnp.asarray(sg)
-        Lc, d, U, ok = mf.partial_ldl(F, c, signs, 1e-9, 1e-5)
-        Fo, d2 = pf.front_partial_ldl(F, signs, c, 1e-9, 1e-5, interpret=True)
-        assert bool(ok)
-        np.testing.assert_allclose(np.asarray(Lc), np.asarray(Fo[:, :, :c]),
-                                   atol=5e-5)
-        np.testing.assert_allclose(np.asarray(d), np.asarray(d2),
-                                   rtol=2e-5, atol=1e-3)
-        if r > c:
-            tl = np.tril_indices(r - c)
-            got = np.asarray(Fo[:, c:, c:])[:, tl[0], tl[1]]
-            want = np.asarray(U)[:, tl[0], tl[1]]
-            np.testing.assert_allclose(got, want, atol=5e-4)
-
-
-def test_pallas_diag_kernel_matches_xla_scan():
-    """The default-on (TPU f32) Pallas pivot-chain kernel
-    (kkt/pallas_diag.py) runs the exact arithmetic of the XLA
-    _diag_factor scan — masked column extraction, expected-sign dynamic
-    regularization, rank-1 VPU update — so interpret mode must match
-    BIT-EXACTLY, including regularized pivots and padded lanes."""
-    import jax.numpy as jnp
-
-    from clarabel_tpu.kkt import multifrontal as mf
-    from clarabel_tpu.kkt import pallas_diag as pd
-
-    rng = np.random.default_rng(11)
-    for (k, b) in [(3, 8), (5, 32), (200, 32), (2, 64)]:
-        M = rng.standard_normal((k, b, b)).astype(np.float32)
-        M = M + np.transpose(M, (0, 2, 1))
-        M[:, np.arange(b), np.arange(b)] += 2.0 * b
-        sg = np.ones((k, b), np.float32)
-        sg[:, b // 2:] = -1.0
-        M[:, np.arange(b // 2, b), np.arange(b // 2, b)] *= -1.0
-        # force a regularization event: zero one pivot
-        M[0, b - 1, b - 1] = 0.0
-        D = jnp.asarray(M)
-        signs = jnp.asarray(sg)
-        L1, d1 = mf._diag_factor(D, signs, 1e-9, 1e-5)
-        L2, d2 = pd.diag_ldl(D, signs, 1e-9, 1e-5, interpret=True)
-        np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
-        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
