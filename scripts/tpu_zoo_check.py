@@ -6,10 +6,17 @@ Guards the class of TPU-compiler regressions found in round 2 (genpow
 scatter lowering crashed the XLA TPU algebraic simplifier) and validates
 f32 convergence per class after engine changes.
 """
+import os
+import sys
 import time
 
 import numpy as np
 import scipy.sparse as sp
+
+# NB: insert at RUNTIME, not via PYTHONPATH — a PYTHONPATH entry pointing
+# at the repo root breaks the axon TPU plugin's entry-point discovery in
+# this environment (importlib.metadata trips on the repo's pyproject)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def problems():
