@@ -362,38 +362,48 @@ def bench_sparse_mf(jax, ct, device):
             solver._P, solver._q, solver._A, solver._b, solver._skkt_data
         )
         txt = lowered.compile().as_text()
-        # count instructions in while-body computations (the IPM loop +
-        # nested refinement loops); top-level one-off ops excluded.
+        # count instructions in the LARGEST computation — the IPM while
+        # body (XLA names computations "region_N", so identify by size).
         # HLO text: computations open with "%name (...) -> ... {" at
         # column 0 and close with "}" at column 0.
-        body_ops = 0
+        sizes = {}
         cur = None
         for line in txt.splitlines():
             if not line.startswith(" ") and "{" in line and "(" in line:
-                name = line.split("(")[0].strip().lstrip("%")
-                cur = name
+                cur = line.split("(")[0].strip().lstrip("%")
+                sizes[cur] = 0
             elif line.startswith("}"):
                 cur = None
-            elif cur is not None and "body" in cur and " = " in line:
-                body_ops += 1
-        chain = 64
+            elif cur is not None and " = " in line:
+                sizes[cur] += 1
+        body_ops = max(sizes.values()) if sizes else 0
+        # per-op latency from the SLOPE of two chain lengths: a single
+        # timed dispatch through the remote tunnel carries ~30 ms of
+        # fixed round-trip that would otherwise be misread as per-op cost
         x0 = jax.device_put(
             np.zeros((8, 64, 64), np.float32) + 0.01, device
         )
 
-        def chainf(x):
-            for _ in range(chain):
-                x = jnp.einsum("kij,kjl->kil", x, x) / jnp.maximum(
-                    jnp.max(jnp.abs(x)), 1.0
-                )
-            return x
+        def make_chain(k):
+            def chainf(x):
+                for _ in range(k):
+                    x = jnp.einsum("kij,kjl->kil", x, x) / jnp.maximum(
+                        jnp.max(jnp.abs(x)), 1.0
+                    )
+                return x
+            return jax.jit(chainf)
 
-        cj = jax.jit(chainf)
-        cj(x0).block_until_ready()
-        t0 = time.perf_counter()
-        cj(x0).block_until_ready()
-        t_chain = time.perf_counter() - t0
-        per_op_us = t_chain / chain * 1e6
+        times = {}
+        for k in (64, 256):
+            cj = make_chain(k)
+            cj(x0).block_until_ready()
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                cj(x0).block_until_ready()
+                ts.append(time.perf_counter() - t0)
+            times[k] = min(ts)
+        per_op_us = (times[256] - times[64]) / 192 * 1e6
         flops_s = plan_flops = float(solver._skkt.plan.flops)
         _row("sparse_mf_dispatch_model",
              round(body_ops * per_op_us / 1e3, 2), "ms_predicted",

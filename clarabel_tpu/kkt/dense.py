@@ -62,8 +62,11 @@ def factor(K_reg):
 # dimension gate for the double-float LU (kkt/df_ldl.py): its column
 # fori_loop costs one step per column, so very large dense systems keep
 # the one-dispatch pivoted LU + refinement instead (and those route to
-# the multifrontal engine anyway at this size)
-DF_LU_MAX_DIM = 512
+# the multifrontal engine anyway at this size).  Env-overridable for
+# experiments (CT_DF_LU_MAX_DIM=0 disables).
+import os as _os
+
+DF_LU_MAX_DIM = int(_os.environ.get("CT_DF_LU_MAX_DIM", "512"))
 
 
 def factor_df(K_reg, K_reg_lo=None):
@@ -509,6 +512,15 @@ def solve_refined(factors, K_true, rhs, settings, want_lo=False):
         # monotone progress.
         stopratio = min(stopratio, 1.05)
         maxiter = max(maxiter, 25)
+    if factors[0] == "df_lu":
+        # the double-float factor already applies with ~eps² error: one
+        # polish sweep reaches the floor; the patient 25-sweep budget
+        # above exists for PLAIN factors whose per-sweep contraction
+        # degrades near μ → 0.  Each df solve is two N-step substitution
+        # loops, so uncapped sweeps dominated the whole batched-SDP
+        # iteration on TPU (measured ~67 ms/iter; the factor+2 sweeps
+        # alone are ~2 ms).
+        maxiter = min(maxiter, 2)
 
     normb = jnp.max(jnp.abs(rhs))
     k_matvec = K_true if callable(K_true) else (lambda v: K_true @ v)

@@ -162,7 +162,14 @@ def factor(K_hi, K_lo, settings=None, delta=1e-6):
         Al = jax.lax.dynamic_update_index_in_dim(Al, newl, j, axis=-1)
         return Ah, Al, perm
 
-    Ah, Al, perm = jax.lax.fori_loop(0, N, body, (Ah, Al, perm0))
+    # unroll: each body is a handful of elementwise [N, N] ops; on TPU a
+    # rolled loop pays per-iteration overhead ~100 us that dwarfs the
+    # microseconds of VPU work — unrolling fuses blocks of steps into
+    # straight-line code (measured the difference as the whole cost of
+    # this kernel in the batched-SDP bench)
+    Ah, Al, perm = jax.lax.fori_loop(
+        0, N, body, (Ah, Al, perm0), unroll=min(N, 128)
+    )
     ok = jnp.all(jnp.isfinite(Ah), axis=(-2, -1)) & jnp.all(
         jnp.isfinite(Al), axis=(-2, -1)
     )
@@ -200,7 +207,7 @@ def solve(factors, rhs):
         )
         return _df_sub(yh, yl, uh, ul)
 
-    yh, yl = jax.lax.fori_loop(0, N, fwd, (yh, yl))
+    yh, yl = jax.lax.fori_loop(0, N, fwd, (yh, yl), unroll=min(N, 128))
 
     # backward: U x = y (column-oriented, reversed)
     def bwd(t, carry):
@@ -226,7 +233,7 @@ def solve(factors, rhs):
         xl = nl * (1 - keep) + xl * keep
         return xh, xl
 
-    xh, xl = jax.lax.fori_loop(0, N, bwd, (yh, yl))
+    xh, xl = jax.lax.fori_loop(0, N, bwd, (yh, yl), unroll=min(N, 128))
 
     out = (xh + xl) * sb  # exact scale-back; one rounding in the sum
     return out[..., :, 0] if vec else out

@@ -415,12 +415,18 @@ def kkt_solve_finish(
 
     # Δτ (kktsystem.rs:168-190)
     xi = x / tau
-    if sol_lo is not None and sol.dtype == jnp.float32:
-        # compensated-path layouts only (PSD / dense-LU f32): the cheap
-        # schur_diag/schur_lr throughput paths keep the plain dots — they
-        # never reach the cond(K) regime where this matters, and the
-        # extra ~40 tiny ops per finish would tax the latency-bound
-        # batched-QP loop
+    if (
+        sol_lo is not None
+        and sol.dtype == jnp.float32
+        and isinstance(P, jnp.ndarray)
+    ):
+        # compensated DENSE-path layouts only (PSD / dense-LU f32): the
+        # cheap schur_diag/schur_lr throughput paths and the sparse
+        # multifrontal path keep the plain dots — they never reach the
+        # cond(K) regime where this matters (the sparse engine's
+        # refinement already bounds the solve error), and the extra ~40
+        # tiny ops per finish measurably tax latency-bound loops
+        # (sparse N=60k: +8 ms/iter when this ran there)
         # f32: the Δτ numerator/denominator are cancellation-prone dot
         # products of ~1/σ_min(K)-sized homogeneous solutions; plain f32
         # dots also round differently per batch shape (XLA reassociates
@@ -638,14 +644,19 @@ def _resolved_kkt_method(layout, settings, dtype, n, use_pallas=False):
             is_f32
             and use_pallas
             and layout.is_symmetric
+            and layout.num_psd == 0
             and (n + layout.m) <= 1024
         ):
-            # symmetric cone layouts on TPU: Pallas quasidefinite LDLᵀ of
-            # the full KKT — VMEM-resident, ~2.4x the batched throughput
-            # of pivoted LU on SOC layouts with better f32 convergence.
-            # Gated by VMEM capacity (padded KKT must fit on chip).
-            # Nonsymmetric (exp/pow) Hessians are too ill-conditioned for
-            # the unpivoted f32 factorization, so they keep pivoted LU.
+            # symmetric NON-PSD cone layouts on TPU: Pallas quasidefinite
+            # LDLᵀ of the full KKT — VMEM-resident, ~2.4x the batched
+            # throughput of pivoted LU on SOC layouts with better f32
+            # convergence.  Gated by VMEM capacity (padded KKT must fit
+            # on chip).  Nonsymmetric (exp/pow) Hessians are too
+            # ill-conditioned for the unpivoted f32 factorization, and
+            # PSD layouts reach cond(K) ~ 1/μ² ~ 1e10 at strict
+            # complementarity where ANY plain-f32 factor's refinement
+            # diverges — both route to "lu" (the double-float LU,
+            # kkt/df_ldl.py, for N ≤ DF_LU_MAX_DIM).
             method = "pallas"
         else:
             method = "lu"
@@ -1065,6 +1076,20 @@ def run_ipm(layout, settings, P, q, A, b, equil, normq, normb, p_is_zero, dtype,
                 joint, ok_ca = solve_kkt_refined(
                     factors, K, jnp.stack([rhs_const, rhs_aff], axis=1),
                     settings, want_lo=True, keep_ext=True,
+                )
+                j_hi, j_lo = joint
+                sol_c = (j_hi[:, 0], None if j_lo is None else j_lo[:, 0])
+                sol_a = (j_hi[:, 1], None if j_lo is None else j_lo[:, 1])
+                ok_c = ok_a = ok_ca
+            elif factors[0] == "df_lu":
+                # dense double-float path: the constant-term and affine
+                # reduced solves ride ONE 2-RHS substitution sweep (each
+                # df solve is two N-step loops — halving the solve count
+                # matters on the latency-bound TPU loop; the sparse path
+                # above does the same through its levelized sweeps)
+                joint, ok_ca = solve_kkt_refined(
+                    factors, K, jnp.stack([rhs_const, rhs_aff], axis=1),
+                    settings, want_lo=True,
                 )
                 j_hi, j_lo = joint
                 sol_c = (j_hi[:, 0], None if j_lo is None else j_lo[:, 0])
